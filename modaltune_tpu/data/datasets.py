@@ -1,0 +1,340 @@
+"""Host-side data pipeline: case-wise feature-bag dataset + bucketed
+batching.
+
+Re-design of ``data_utils/datasets.py`` (``FeaturesGeneTextDataset``) for
+TPU execution:
+
+* same case-wise semantics — multi-slide bags concatenated with a +1500
+  y-offset between slides (``datasets.py:231-239``), random subsample to
+  ``threshold`` patches with **sorted** kept indices
+  (``datasets.py:274-281``), per-case CONCH text embeddings ``[4, 512]``,
+  StandardScaler-normalized gene matrix merged on ``case_submitter_id``
+  (``datasets.py:183-197``), optional clinical feature vector;
+* but batches are **bucket-padded to static shapes** with a validity
+  mask, so every train/eval step hits a cached XLA program instead of
+  recompiling per bag length;
+* gene dicts of 331 ragged tensors become one dense
+  ``(n_groups, max_group_len)`` block (see ``pathways.GenePacker``).
+
+Feature bags load from ``.npz`` (keys ``features``/``coords``) or the
+reference's torch ``.pt`` caches (via torch-cpu, if installed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .pathways import GenePacker
+
+DEFAULT_BUCKETS = (1024, 2048, 4096, 8192, 16384, 25600)
+
+
+def choose_bucket(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class Example:
+    """One case (patient), host-side numpy."""
+
+    bag: np.ndarray            # (L, in_chans) float32
+    coords: np.ndarray         # (L, 2) float32
+    genes: np.ndarray          # (G, M) float32 packed pathway blocks
+    text: np.ndarray           # (4, 512) float32 CONCH prompt embeddings
+    clinical: Optional[np.ndarray]  # (clinfeat_dim,) or None
+    label: int
+    duration: float
+    event: int                 # vital_status (1 = event observed)
+    case_id: str
+    site: int = 0              # pan-cancer site label
+
+
+@dataclasses.dataclass
+class Batch:
+    """Device-ready padded batch (all arrays stacked along axis 0)."""
+
+    bag: np.ndarray            # (B, Lb, C)
+    coords: np.ndarray         # (B, Lb, 2)
+    mask: np.ndarray           # (B, Lb) bool
+    genes: np.ndarray          # (B, G, M)
+    text: np.ndarray           # (B, 4, 512)
+    clinical: Optional[np.ndarray]
+    label: np.ndarray          # (B,)
+    duration: np.ndarray       # (B,)
+    event: np.ndarray          # (B,)
+    site: np.ndarray           # (B,)
+    case_ids: List[str]
+
+
+def pad_bag(bag: np.ndarray, coords: np.ndarray, bucket: int
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    l = bag.shape[0]
+    mask = np.zeros(bucket, bool)
+    mask[:l] = True
+    if l < bucket:
+        bag = np.pad(bag, ((0, bucket - l), (0, 0)))
+        coords = np.pad(coords, ((0, bucket - l), (0, 0)))
+    return bag[:bucket], coords[:bucket], mask
+
+
+def collate(examples: Sequence[Example], bucket: int) -> Batch:
+    bags, coords, masks = [], [], []
+    for ex in examples:
+        b, c, m = pad_bag(ex.bag, ex.coords, bucket)
+        bags.append(b)
+        coords.append(c)
+        masks.append(m)
+    clinical = None
+    if examples[0].clinical is not None:
+        clinical = np.stack([ex.clinical for ex in examples])
+    return Batch(
+        bag=np.stack(bags).astype(np.float32),
+        coords=np.stack(coords).astype(np.float32),
+        mask=np.stack(masks),
+        genes=np.stack([ex.genes for ex in examples]).astype(np.float32),
+        text=np.stack([ex.text for ex in examples]).astype(np.float32),
+        clinical=clinical,
+        label=np.array([ex.label for ex in examples], np.int32),
+        duration=np.array([ex.duration for ex in examples], np.float32),
+        event=np.array([ex.event for ex in examples], np.int32),
+        site=np.array([ex.site for ex in examples], np.int32),
+        case_ids=[ex.case_id for ex in examples],
+    )
+
+
+def load_feature_bag(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one slide's cached tile features: (features, coords)."""
+    p = Path(path)
+    if p.suffix == ".npz":
+        z = np.load(p)
+        return np.asarray(z["features"], np.float32), \
+            np.asarray(z["coords"], np.float32)
+    if p.suffix in (".pt", ".pth"):
+        import torch  # cpu-only, used for reading reference caches
+        d = torch.load(p, map_location="cpu", weights_only=False)
+        return d["features"].numpy().astype(np.float32), \
+            d["coords"].numpy().astype(np.float32)
+    raise ValueError(f"Unsupported feature file: {path}")
+
+
+class FeatureBagDataset:
+    """Case-wise multi-modal dataset over a split datalist.
+
+    Args:
+      datalist: list of per-slide dicts (the reference's split-JSON rows:
+        ``case_id``, ``case_submitter_id``, ``features_path``, label
+        fields, ``vital_status``, ``durations``, ``project_id``...).
+      gene_matrix: (n_cases, n_genes) float32, already normalized.
+      gene_case_ids: row order of ``gene_matrix`` (case_submitter_id).
+      packer: GenePacker for pathway blocks.
+      text_embeddings: case_id -> (4, 512) array.
+      clinical: case_id -> (clinfeat_dim,) array, or None.
+      labelset: which field is the class label.
+      threshold: max patches per bag (random sorted subsample above it).
+      site_label: project_id -> int site mapping (pan-cancer), optional.
+    """
+
+    def __init__(self, datalist: List[dict], gene_matrix: np.ndarray,
+                 gene_case_ids: Sequence[str], packer: GenePacker,
+                 text_embeddings: Dict[str, np.ndarray],
+                 clinical: Optional[Dict[str, np.ndarray]] = None,
+                 labelset: str = "primary_class", threshold: int = 25000,
+                 site_label: Optional[Dict[str, int]] = None):
+        self.packer = packer
+        self.text_embeddings = text_embeddings
+        self.clinical = clinical
+        self.labelset = labelset
+        self.threshold = threshold
+        self.site_label = site_label or {}
+        self.gene_rows = {cid: i for i, cid in enumerate(gene_case_ids)}
+        self.gene_matrix = np.asarray(gene_matrix, np.float32)
+
+        # keep only cases present in the gene table (datasets.py:192-197)
+        self.by_case: Dict[str, List[dict]] = {}
+        for row in datalist:
+            if row["case_submitter_id"] not in self.gene_rows:
+                continue
+            self.by_case.setdefault(row["case_id"], []).append(row)
+        self.case_ids = sorted(self.by_case)
+
+    def __len__(self) -> int:
+        return len(self.case_ids)
+
+    def metadata(self) -> List[dict]:
+        """First slide row per case (for eval label frames)."""
+        return [self.by_case[c][0] for c in self.case_ids]
+
+    def get(self, index: int, rng: np.random.RandomState) -> Example:
+        case_id = self.case_ids[index]
+        rows = self.by_case[case_id]
+        bags, coords = [], []
+        offset = 0.0
+        for row in rows:
+            f, c = load_feature_bag(row["features_path"])
+            c = c + np.array([0.0, offset], np.float32)
+            # +1500 between slides, like datasets.py:236-238
+            offset = float(c[:, 1].max()) + 1500.0
+            bags.append(f)
+            coords.append(c)
+        bag = np.concatenate(bags)
+        coord = np.concatenate(coords)
+        if bag.shape[0] > self.threshold:
+            idx = np.sort(rng.permutation(bag.shape[0])[:self.threshold])
+            bag, coord = bag[idx], coord[idx]
+
+        meta = rows[0]
+        gene_vec = self.gene_matrix[self.gene_rows[meta["case_submitter_id"]]]
+        label = meta.get(self.labelset, -1)
+        label = int(label) if label is not None and str(label) != "nan" \
+            else -1
+        dur = meta.get("durations", float("nan"))
+        dur = float(dur) if dur is not None else float("nan")
+        ev = meta.get("vital_status", 0)
+        clin = None
+        if self.clinical is not None:
+            clin = np.asarray(self.clinical[case_id], np.float32)
+        return Example(
+            bag=bag, coords=coord, genes=self.packer.pack(gene_vec),
+            text=np.asarray(self.text_embeddings[case_id], np.float32),
+            clinical=clin, label=label, duration=dur, event=int(ev),
+            case_id=case_id,
+            site=self.site_label.get(meta.get("project_id", ""), 0))
+
+
+class SyntheticSlideDataset:
+    """Random dataset with the FeatureBagDataset interface, for tests and
+    benchmarks (stands in for cached TCGA GigaPath features)."""
+
+    def __init__(self, n_cases: int = 16, in_chans: int = 1536,
+                 bag_range: Tuple[int, int] = (500, 2000),
+                 packer: Optional[GenePacker] = None, n_genes: int = 60,
+                 n_classes: int = 2, clinical_dim: int = 0,
+                 n_sites: int = 1, threshold: int = 25000, seed: int = 0):
+        from .pathways import synthetic_pathways
+        rng = np.random.RandomState(seed)
+        if packer is None:
+            groups = synthetic_pathways(n_genes=n_genes)
+            packer = GenePacker.build(groups,
+                                      [f"g{i}" for i in range(n_genes)])
+        self.packer = packer
+        self.threshold = threshold
+        self._examples = []
+        for i in range(n_cases):
+            l = rng.randint(*bag_range)
+            label = rng.randint(n_classes)
+            site = rng.randint(n_sites)
+            self._examples.append(Example(
+                bag=rng.randn(l, in_chans).astype(np.float32),
+                coords=(rng.randint(0, 900, (l, 2)) * 256.0
+                        ).astype(np.float32),
+                genes=packer.pack(rng.randn(n_genes).astype(np.float32)),
+                text=rng.randn(4, 512).astype(np.float32),
+                clinical=(rng.randn(clinical_dim).astype(np.float32)
+                          if clinical_dim else None),
+                label=label,
+                duration=float(rng.randint(1, 120)),
+                event=int(rng.rand() < 0.6),
+                case_id=f"case_{i:04d}",
+                site=site))
+        self.case_ids = [e.case_id for e in self._examples]
+
+    def __len__(self):
+        return len(self._examples)
+
+    def metadata(self):
+        return [dict(case_id=e.case_id, primary_class=e.label,
+                     durations=e.duration, vital_status=e.event,
+                     project_id=str(e.site)) for e in self._examples]
+
+    def get(self, index: int, rng: np.random.RandomState) -> Example:
+        ex = self._examples[index]
+        if ex.bag.shape[0] > self.threshold:
+            idx = np.sort(rng.permutation(ex.bag.shape[0])[:self.threshold])
+            ex = dataclasses.replace(ex, bag=ex.bag[idx],
+                                     coords=ex.coords[idx])
+        return ex
+
+
+class BucketedLoader:
+    """Iterates a dataset as bucket-padded batches with host->device
+    prefetch on a background thread (replaces the torch DataLoader worker
+    pool at ``utils/base_trainer.py:274-295``)."""
+
+    def __init__(self, dataset, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 batch_size: int = 1, shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.buckets = tuple(sorted(buckets))
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _iter_batches(self) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            examples = [self.dataset.get(int(i), rng) for i in chunk]
+            bucket = choose_bucket(max(e.bag.shape[0] for e in examples),
+                                   self.buckets)
+            yield collate(examples, bucket)
+
+    def __iter__(self) -> Iterator[Batch]:
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self._iter_batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def load_split_json(path: str) -> List[dict]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_gene_csv(path: str):
+    """Gene CSV (first column case_id) -> (matrix, case_ids, gene_names),
+    StandardScaler-normalized over all rows like ``datasets.py:185-188``."""
+    import pandas as pd
+    df = pd.read_csv(path)
+    case_ids = df.iloc[:, 0].astype(str).tolist()
+    genes = df.columns[1:].tolist()
+    x = df.iloc[:, 1:].to_numpy(np.float64)
+    mean = x.mean(axis=0)
+    std = x.std(axis=0)
+    std[std == 0] = 1.0
+    return ((x - mean) / std).astype(np.float32), case_ids, genes

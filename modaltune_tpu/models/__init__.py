@@ -1,0 +1,18 @@
+from .registry import AGGREGATORS, create_aggregator, register_aggregator
+from .layers import (AlphaDropout, CrossAttentionLayer, DropPath, FFNLayer,
+                     SelfAttentionLayer, TorchMHA)
+from .longnet import (DilatedSelfAttention, FeedForwardNetwork,
+                      LongNetEncoder, LongNetEncoderLayer)
+from .slide_encoder import LongNetViT, PatchEmbed, coords_pos_embed
+from .gene import GeneMixerEncoder
+from .adapter import Extractor, Injector, InteractionBlock
+from .modaltune import ModalTuneModel
+
+__all__ = [
+    "AGGREGATORS", "create_aggregator", "register_aggregator",
+    "AlphaDropout", "CrossAttentionLayer", "DropPath", "FFNLayer",
+    "SelfAttentionLayer", "TorchMHA", "DilatedSelfAttention",
+    "FeedForwardNetwork", "LongNetEncoder", "LongNetEncoderLayer",
+    "LongNetViT", "PatchEmbed", "coords_pos_embed", "GeneMixerEncoder",
+    "Extractor", "Injector", "InteractionBlock", "ModalTuneModel",
+]

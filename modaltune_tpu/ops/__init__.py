@@ -1,0 +1,8 @@
+from .flash_attention import (NEG_INF, flash_attention,
+                              flash_attention_reference)
+from .dilated import dense_to_sparse, dilated_attention, sparse_to_dense
+
+__all__ = [
+    "NEG_INF", "flash_attention", "flash_attention_reference",
+    "dense_to_sparse", "sparse_to_dense", "dilated_attention",
+]

@@ -1,0 +1,184 @@
+"""LongNet dilated attention as pure-XLA layout transforms + flash kernel.
+
+Re-derivation of the reference's ``DilatedAttention``
+(``torchscale/component/dilated_attention.py:20-262``) in a TPU-first
+form. Per (segment length ``w``, dilation ratio ``r``) branch:
+
+1. the sequence is split into ``w``-token segments (padding to a multiple
+   of the effective segment length, with ``w`` clamped to the sequence
+   length like the reference's ``sl = min(sl, seq_len)`` at
+   ``dilated_attention.py:97``);
+2. within each segment, head group ``g`` (heads ``g*h .. (g+1)*h-1`` after
+   padding heads to a multiple of ``r``) attends over the token subset at
+   positions ``≡ g (mod r)`` — the "head rotation" the reference encodes
+   as a rearrange + ``torch.diagonal`` (``dense_to_sparse``,
+   ``dilated_attention.py:22-37``). Here it is a reshape + diagonal
+   gather, which XLA lowers to cheap strided copies;
+3. each branch runs the Pallas flash-attention kernel and returns
+   (out, lse);
+4. outputs are scattered back to the dense token layout (off-pattern
+   (position, head) slots get lse ``NEG_INF`` so they can't win), and
+   branches are recombined per token/head with softmax(lse) weights
+   computed under ``stop_gradient`` — matching ``scattering``'s
+   ``torch.no_grad`` block (``dilated_attention.py:131-141``).
+
+Unlike the reference, padded tokens are *masked out* of every softmax
+(see ops/flash_attention.py); this is required for bucket-padded static
+shapes and is strictly more correct than attending to zero-value keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import NEG_INF, flash_attention
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def dense_to_sparse(x: jax.Array, ratio: int) -> jax.Array:
+    """Head-rotated dilation gather.
+
+    x: ``(B, S, H, ...)`` segments. Returns ``(B, S/r, H, ...)`` where the
+    entry for head ``g*h + j`` at sparse position ``l`` is the dense entry
+    at position ``l*r + g`` for the same head (``h = H_padded / r``).
+    Pads S to a multiple of ``ratio`` and H to a multiple of ``ratio``,
+    mirroring ``dilated_attention.py:22-37``.
+    """
+    if ratio == 1:
+        return x
+    b, s, h = x.shape[:3]
+    trailing = x.shape[3:]
+    sp = _round_up(s, ratio)
+    hp = _round_up(h, ratio)
+    if sp != s or hp != h:
+        pad = [(0, 0), (0, sp - s), (0, hp - h)] + [(0, 0)] * len(trailing)
+        x = jnp.pad(x, pad)
+    hg = hp // ratio
+    # (B, S/r, r1, r2, hg, ...) with position = l*r + r1, head = r2*hg + j
+    x = x.reshape((b, sp // ratio, ratio, ratio, hg) + trailing)
+    # take the r1 == r2 diagonal -> (B, S/r, hg, ..., r)
+    x = jnp.diagonal(x, axis1=2, axis2=3)
+    # -> (B, S/r, r, hg, ...) -> (B, S/r, Hp, ...)
+    x = jnp.moveaxis(x, -1, 2)
+    x = x.reshape((b, sp // ratio, hp) + trailing)
+    if hp != h:
+        x = x[:, :, :h]
+    return x
+
+
+def sparse_to_dense(out: jax.Array, lse: jax.Array, ratio: int,
+                    seg_len: int) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of :func:`dense_to_sparse`.
+
+    out: ``(B, S/r, H, D)``; lse: ``(B, S/r, H)``. Returns dense
+    ``out (B, seg_len, H, D)`` and ``lse (B, seg_len, H)`` where
+    (position, head) slots not covered by this branch's dilation pattern
+    get 0 output and ``NEG_INF`` lse (so the branch mixer ignores them) —
+    the role of ``diag_embed`` + ``masked_fill`` in
+    ``dilated_attention.py:39-59``.
+    """
+    if ratio == 1:
+        return out[:, :seg_len], lse[:, :seg_len]
+    b, ls, h, d = out.shape
+    hp = _round_up(h, ratio)
+    if hp != h:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, hp - h)),
+                      constant_values=NEG_INF)
+    hg = hp // ratio
+    out = out.reshape(b, ls, ratio, hg, d)       # (B, S/r, r2, hg, D)
+    lse = lse.reshape(b, ls, ratio, hg)
+    eye = jnp.eye(ratio, dtype=bool)             # (r1, r2)
+    dense_out = jnp.where(eye[None, None, :, :, None, None],
+                          out[:, :, None], 0.0)  # (B, S/r, r1, r2, hg, D)
+    dense_lse = jnp.where(eye[None, None, :, :, None],
+                          lse[:, :, None], NEG_INF)
+    dense_out = dense_out.reshape(b, ls * ratio, hp, d)
+    dense_lse = dense_lse.reshape(b, ls * ratio, hp)
+    return dense_out[:, :seg_len, :h], dense_lse[:, :seg_len, :h]
+
+
+def _branch(q, k, v, mask, seg_len: int, ratio: int, scale: float,
+            use_pallas: Optional[bool], block_q: int, block_k: int):
+    """One (segment_length, dilation_ratio) attention branch.
+
+    q/k/v: ``(B, L, H, D)``; mask: ``(B, L)`` bool validity or None.
+    Returns dense-layout ``out (B, L, H, D)`` fp32 and ``lse (B, L, H)``.
+    """
+    b, length, h, d = q.shape
+    sl = min(seg_len, length)            # dilated_attention.py:97
+    lp = _round_up(length, sl)
+    n = lp // sl
+
+    def seg(x, pad_shape):
+        if lp != length:
+            x = jnp.pad(x, ((0, 0), (0, lp - length)) + pad_shape)
+        return x.reshape((b * n, sl) + x.shape[2:])
+
+    qs = seg(q, ((0, 0), (0, 0)))
+    ks = seg(k, ((0, 0), (0, 0)))
+    vs = seg(v, ((0, 0), (0, 0)))
+    if mask is None:
+        mask = jnp.ones((b, length), bool)
+    ms = seg(mask[..., None] & jnp.ones((1, 1, h), bool), ((0, 0),))
+
+    qs = dense_to_sparse(qs, ratio)      # (B*n, S, H, D), S = ceil(sl/r)
+    ks = dense_to_sparse(ks, ratio)
+    vs = dense_to_sparse(vs, ratio)
+    ms = dense_to_sparse(ms, ratio)      # (B*n, S, H)
+
+    bn, s = qs.shape[0], qs.shape[1]
+    # (B*n*H, S, D) layout for the kernel
+    qk = jnp.moveaxis(qs, 2, 1).reshape(bn * h, s, d)
+    kk = jnp.moveaxis(ks, 2, 1).reshape(bn * h, s, d)
+    vk = jnp.moveaxis(vs, 2, 1).reshape(bn * h, s, d)
+    bias = jnp.where(jnp.moveaxis(ms, 2, 1).reshape(bn * h, s), 0.0, NEG_INF)
+
+    out, lse = flash_attention(qk, kk, vk, bias, scale,
+                               block_q=block_q, block_k=block_k,
+                               use_pallas=use_pallas)
+
+    out = jnp.moveaxis(out.reshape(bn, h, s, d), 1, 2)  # (B*n, S, H, D)
+    lse = jnp.moveaxis(lse.reshape(bn, h, s), 1, 2)     # (B*n, S, H)
+    out, lse = sparse_to_dense(out.astype(jnp.float32), lse, ratio, sl)
+    out = out.reshape(b, lp, h, d)[:, :length]
+    lse = lse.reshape(b, lp, h)[:, :length]
+    return out, lse
+
+
+def dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
+                      dilated_ratios: Sequence[int],
+                      mask: Optional[jax.Array] = None,
+                      scale: Optional[float] = None,
+                      use_pallas: Optional[bool] = None,
+                      block_q: int = 1024, block_k: int = 1024) -> jax.Array:
+    """Multi-branch LongNet dilated attention.
+
+    q/k/v: ``(B, L, H, D)`` (post-projection, pre-output-projection);
+    mask: ``(B, L)`` bool token validity. Returns ``(B, L, H, D)`` in
+    q's dtype. Branch outputs are LSE-softmax mixed per (token, head)
+    with stop-gradient weights (``dilated_attention.py:113-144``).
+    """
+    assert len(segment_lengths) == len(dilated_ratios)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    outs, lses = [], []
+    for sl, r in zip(segment_lengths, dilated_ratios):
+        o, l = _branch(q, k, v, mask, int(sl), int(r), float(scale),
+                       use_pallas, block_q, block_k)
+        outs.append(o)
+        lses.append(l)
+    if len(outs) == 1:
+        return outs[0].astype(q.dtype)
+    lse = jnp.stack(lses)                            # (n_br, B, L, H)
+    m = jax.lax.stop_gradient(jnp.max(lse, axis=0))
+    w = jnp.exp(jax.lax.stop_gradient(lse) - m)
+    w = w / jnp.sum(w, axis=0)
+    out = sum(o * wi[..., None] for o, wi in zip(outs, w))
+    return out.astype(q.dtype)

@@ -1,0 +1,72 @@
+"""KD loss and the frozen text projector.
+
+Rebuild of the PromptKD-style distillation objective in
+``train_modaltune.py:44-59,91,211-233``: task-conditioned model
+embeddings are L2-normalized and distilled (KL over the embedding
+dimension, temperature 1, sum-reduction, x T^2 x 10) against L2-normalized
+projections of the per-case CONCH text embeddings for prompt rows
+[0 general, 1 diagnosis, 3 survival].
+
+The text projector is *frozen random* — never trained
+(``train_modaltune.py:113-116``); it only has to be seedable and
+checkpointable so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+TEXT_PROMPT_ROWS = (0, 1, 3)  # train_modaltune.py:232
+
+
+class TextProjector(nn.Module):
+    """conv1x1 512->256, LayerNorm(channels), ReLU, conv1x1 256->256
+    (``Projection_layer``, train_modaltune.py:44-59). Conv1x1 on a
+    (B, C, 1, 1) tensor == Dense over the channel axis; the
+    LayerNorm([C,1,1]) normalizes over channels per sample."""
+
+    out_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, text):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv1")(text)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="conv2")(x)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True),
+                           eps)
+
+
+def kd_loss(logits, text_proj, temperature: float = 1.0,
+            scale: float = 10.0):
+    """PromptKD KL loss.
+
+    logits: (B, T, D) task-conditioned embeddings (pre-normalization);
+    text_proj: (B, T, D) projected + L2-normalized text targets (already
+    row-selected). Returns the mean over slides of the per-slide
+    sum-reduction KL (the reference runs batch-size 1 with reduction
+    "sum"; averaging over the slide axis keeps per-step gradient scale
+    identical under data-parallel batching).
+    """
+    t = temperature
+    logits = l2_normalize(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32) / t, axis=-1)
+    q = jax.nn.softmax(text_proj.astype(jnp.float32) / t, axis=-1)
+    per_slide = jnp.sum(q * (jnp.log(q) - logp), axis=(-2, -1))
+    return jnp.mean(per_slide) * (t ** 2) * scale
+
+
+def project_text(projector: TextProjector, proj_params, text):
+    """(B, 4, 512) raw CONCH embeddings -> (B, 3, out_dim) normalized
+    targets for tasks [general, diagnosis, survival]."""
+    out = projector.apply({"params": proj_params}, text)
+    out = l2_normalize(out, axis=-1)
+    return out[:, jnp.array(TEXT_PROMPT_ROWS), :]

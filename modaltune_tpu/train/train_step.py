@@ -1,0 +1,109 @@
+"""Jit-compiled multi-task train / eval steps.
+
+Replaces the reference hot loop (``train_modaltune.py:181-250``): the
+three sequential task forwards (``multitask_forward``,
+``train_modaltune.py:156-179``) become one batched forward with the bag
+tiled across task tokens — same math, one compiled program, full MXU
+batching — followed by the PromptKD KL loss and an AdamW update on the
+trainable (adapter) subtree only. fp16 GradScaler is unnecessary on TPU:
+compute runs in bf16 with fp32 master params.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import TrainConfig
+from .losses import kd_loss, l2_normalize, project_text
+from .state import TrainState, merge_params
+
+
+def tile_tasks(batch_inputs: dict, num_tasks: int) -> dict:
+    """Repeat every per-slide input ``num_tasks`` times along axis 0 and
+    attach one-hot task tokens; slide b / task t lands at row
+    ``b * num_tasks + t``."""
+    out = {}
+    for k, v in batch_inputs.items():
+        if v is None:
+            out[k] = None
+        else:
+            out[k] = jnp.repeat(v, num_tasks, axis=0)
+    b = next(v.shape[0] for v in batch_inputs.values() if v is not None)
+    out["task_token"] = jnp.tile(jnp.eye(num_tasks, dtype=jnp.float32),
+                                 (b, 1))
+    return out
+
+
+def multitask_logits(model, params, batch, num_tasks: int,
+                     deterministic: bool, rng: Optional[jax.Array] = None):
+    """-> (B, num_tasks, output_dim) embeddings for every task token."""
+    inputs = dict(bag=batch["bag"], coords=batch["coords"],
+                  genes=batch["genes"], clinical=batch.get("clinical"),
+                  bag_mask=batch["mask"])
+    tiled = tile_tasks(inputs, num_tasks)
+    rngs = {"dropout": rng} if rng is not None else None
+    out = model.apply(
+        {"params": params}, tiled["bag"], tiled["coords"], tiled["genes"],
+        task_token=tiled["task_token"], clinical=tiled["clinical"],
+        bag_mask=tiled["bag_mask"], deterministic=deterministic, rngs=rngs)
+    b = batch["bag"].shape[0]
+    return out.reshape(b, num_tasks, -1)
+
+
+def make_train_step(model, cfg: TrainConfig,
+                    donate: bool = True) -> Callable:
+    """Returns jitted ``train_step(state, batch, text_targets, rng)``.
+
+    ``batch``: dict of device arrays (bag/coords/mask/genes[/clinical]);
+    ``text_targets``: (B, T, D) pre-projected normalized text embeddings.
+    """
+
+    def step(state: TrainState, batch: dict, text_targets, rng):
+        def loss_fn(trainable):
+            params = merge_params(state.frozen, trainable)
+            logits = multitask_logits(model, params, batch, cfg.num_tasks,
+                                      deterministic=False, rng=rng)
+            loss = kd_loss(logits, text_targets,
+                           temperature=cfg.temperature,
+                           scale=cfg.kd_loss_scale)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        new_state = state.apply_gradients(grads)
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: TrainConfig,
+                   task_ids: Optional[tuple] = None) -> Callable:
+    """Returns jitted ``eval_step(state, batch, text_targets)`` ->
+    (logits (B,T,D) raw embeddings, loss). Matches ``evaluate``
+    (``train_modaltune.py:388-458``): loss on normalized embeddings, the
+    exported logits stay unnormalized."""
+
+    def step(state: TrainState, batch: dict, text_targets):
+        params = merge_params(state.frozen, state.trainable)
+        logits = multitask_logits(model, params, batch, cfg.num_tasks,
+                                  deterministic=True)
+        loss = kd_loss(logits, text_targets, temperature=cfg.temperature,
+                       scale=cfg.kd_loss_scale)
+        return logits, loss
+
+    return jax.jit(step)
+
+
+def make_embed_step(model, cfg: TrainConfig) -> Callable:
+    """Jitted feature-extraction step -> (B, T, D) embeddings
+    (``get_features``, train_modaltune.py:252-327)."""
+
+    def step(state: TrainState, batch: dict):
+        params = merge_params(state.frozen, state.trainable)
+        return multitask_logits(model, params, batch, cfg.num_tasks,
+                                deterministic=True)
+
+    return jax.jit(step)
