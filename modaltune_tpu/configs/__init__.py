@@ -1,10 +1,12 @@
 from .configs import (AdapterConfig, GeneEncoderConfig, LongNetConfig,
-                      ModalTuneConfig, SlideEncoderConfig, TrainConfig,
+                      ModalTuneConfig, SlideEncoderConfig, TitanConfig,
+                      TitanModalTuneConfig, TrainConfig,
                       gigapath_modaltune_config, optimal_segment_lengths,
                       tiny_test_config)
 
 __all__ = [
     "AdapterConfig", "GeneEncoderConfig", "LongNetConfig", "ModalTuneConfig",
-    "SlideEncoderConfig", "TrainConfig", "gigapath_modaltune_config",
+    "SlideEncoderConfig", "TitanConfig", "TitanModalTuneConfig",
+    "TrainConfig", "gigapath_modaltune_config",
     "optimal_segment_lengths", "tiny_test_config",
 ]

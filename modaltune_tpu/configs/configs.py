@@ -115,6 +115,32 @@ class SlideEncoderConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class TitanConfig:
+    """TITAN slide-encoder ViT (MahmoodLab TITAN; the reference builds it
+    from an external HF snapshot at ``titan_adapter.py:88-104``; this
+    config mirrors its ``TitanConfig().vision_config`` surface).
+
+    The encoder consumes CONCH v1.5 patch features scattered onto a 2-D
+    grid (``patch_size_lv0`` level-0 pixels per cell) with 2-D ALiBi
+    attention bias and a background mask; output via attentional pooling.
+    """
+
+    in_dim: int = 768               # CONCH v1.5 patch feature dim
+    embed_dim: int = 768
+    depth: int = 6
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    mlp_patch_embed_dim: int = 768  # hidden dim of the MLP patch embed
+    pos_encode_type: str = "alibi"
+    attn_pooler_queries: int = 128
+    attn_pooler_heads: int = 12
+    patch_size_lv0: int = 1024
+    drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
 class GeneEncoderConfig:
     """Pathway-grouped gene encoder (S-MLP + Gene-Mixer).
 
@@ -177,6 +203,21 @@ class ModalTuneConfig:
     backbone: SlideEncoderConfig = dataclasses.field(
         default_factory=SlideEncoderConfig)
     adapter: AdapterConfig = dataclasses.field(default_factory=AdapterConfig)
+    gene: GeneEncoderConfig = dataclasses.field(
+        default_factory=GeneEncoderConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class TitanModalTuneConfig:
+    """ModalTune over the TITAN backbone
+    (``model_configs/modaltune_titan_config.json``: token_agg 'cat',
+    drop_path 0.2, interaction spans over 6 ViT blocks)."""
+
+    backbone: TitanConfig = dataclasses.field(default_factory=TitanConfig)
+    adapter: AdapterConfig = dataclasses.field(
+        default_factory=lambda: AdapterConfig(
+            interaction_indexes=((0, 1), (2, 3), (4, 5)),
+            token_agg="cat", drop_path_rate=0.2))
     gene: GeneEncoderConfig = dataclasses.field(
         default_factory=GeneEncoderConfig)
 

@@ -7,6 +7,8 @@ from .slide_encoder import LongNetViT, PatchEmbed, coords_pos_embed
 from .gene import GeneMixerEncoder
 from .adapter import Extractor, Injector, InteractionBlock
 from .modaltune import ModalTuneModel
+from .titan import (AttentionalPooler, TitanModalTuneModel, TitanViT,
+                    alibi_bias, grid_scatter_bag)
 
 __all__ = [
     "AGGREGATORS", "create_aggregator", "register_aggregator",
@@ -15,4 +17,6 @@ __all__ = [
     "FeedForwardNetwork", "LongNetEncoder", "LongNetEncoderLayer",
     "LongNetViT", "PatchEmbed", "coords_pos_embed", "GeneMixerEncoder",
     "Extractor", "Injector", "InteractionBlock", "ModalTuneModel",
+    "AttentionalPooler", "TitanModalTuneModel", "TitanViT", "alibi_bias",
+    "grid_scatter_bag",
 ]

@@ -5,22 +5,26 @@ TPU-first rebuild of the reference's vendored torchscale stack:
 with ``DilatedAttention`` self-attention
 (``torchscale/component/dilated_attention.py``) and the sub-LN
 FeedForwardNetwork (``torchscale/component/feedforward_network.py``).
-Module / parameter naming mirrors the torch state-dict so weight
-conversion from GigaPath's ``slide_encoder.pth`` is a transpose-only
-mapping.
 
 Design deltas vs the reference (intentional):
 * attention runs the Pallas flash kernel over each dilated branch, with
   padded-token key masking threaded through (bucketed static shapes);
 * after every layer padded positions are re-zeroed so garbage cannot
   accumulate through FFNs;
-* optional per-layer `jax.checkpoint` (the fairscale
-  ``checkpoint_wrapper`` hook at ``LongNet.py:46-49`` becomes XLA remat).
+* per-layer ``jax.checkpoint`` (the fairscale ``checkpoint_wrapper`` hook
+  at ``LongNet.py:46-49`` becomes XLA remat);
+* layers are grouped into **spans** (the intervals between Modal-Adapter
+  interaction points, e.g. ``[0:4), [4:8), [8:12)``) and each span runs
+  as ``nn.scan`` over stacked parameters — XLA compiles ONE layer body
+  per span instead of 12 unrolled layers, cutting full-model compile
+  time by an order of magnitude with identical math. The reference's
+  ``encoder.layers[lo:hi]`` slicing (exploited by the adapter at
+  ``longvit_adapter.py:294-307``) maps to span-aligned ``run_layers``.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +32,6 @@ from flax import linen as nn
 
 from ..configs import LongNetConfig
 from ..ops import dilated_attention
-from .layers import DropPath
 
 
 class DilatedSelfAttention(nn.Module):
@@ -84,30 +87,39 @@ class FeedForwardNetwork(nn.Module):
         return x
 
 
-class LongNetEncoderLayer(nn.Module):
-    """Pre-norm encoder layer (``encoder.py:121-175``, alpha=1)."""
+def _traced_drop_path(x, rate, rng, deterministic: bool):
+    """timm stochastic depth with a *traced* per-layer rate (needed under
+    scan); rate 0 reduces to identity."""
+    if deterministic:
+        return x
+    keep = 1.0 - rate.astype(jnp.float32)
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    # keep the scan carry dtype stable (e.g. bf16 compute)
+    return jnp.where(mask, x / keep.astype(x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
+class ScannedLongNetLayer(nn.Module):
+    """Pre-norm encoder layer (``encoder.py:121-175``, alpha=1), written
+    as an ``nn.scan`` body: carry = tokens, scanned input = the layer's
+    drop-path rate."""
 
     cfg: LongNetConfig
-    depth: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None,
-                 deterministic: bool = True):
+    def __call__(self, x, rate, mask, deterministic: bool):
         c = self.cfg
-        if c.drop_path_rate > 0 and c.num_layers > 1:
-            rate = c.drop_path_rate * self.depth / (c.num_layers - 1)
-        else:
-            rate = 0.0
-        drop_path = DropPath(rate, name="drop_path")
-
         residual = x
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
                          name="self_attn_layer_norm")(x)
         h = DilatedSelfAttention(c, dtype=self.dtype, name="self_attn")(
             h, mask, deterministic)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
-        h = drop_path(h, deterministic)
+        if not deterministic and c.drop_path_rate > 0:
+            h = _traced_drop_path(h, rate, self.make_rng("dropout"),
+                                  deterministic)
         x = residual + h
 
         residual = x
@@ -115,43 +127,102 @@ class LongNetEncoderLayer(nn.Module):
                          name="final_layer_norm")(x)
         h = FeedForwardNetwork(c, dtype=self.dtype, name="ffn")(
             h, deterministic)
-        h = drop_path(h, deterministic)
+        if not deterministic and c.drop_path_rate > 0:
+            h = _traced_drop_path(h, rate, self.make_rng("dropout"),
+                                  deterministic)
         x = residual + h
 
         if mask is not None and c.mask_padding:
             x = x * mask[..., None].astype(x.dtype)
+        return x, None
+
+
+# Back-compat alias for direct single-layer use in tests/tools.
+class LongNetEncoderLayer(nn.Module):
+    cfg: LongNetConfig
+    depth: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        c = self.cfg
+        if c.drop_path_rate > 0 and c.num_layers > 1:
+            rate = c.drop_path_rate * self.depth / (c.num_layers - 1)
+        else:
+            rate = 0.0
+        x, _ = ScannedLongNetLayer(c, dtype=self.dtype, name="layer")(
+            x, jnp.float32(rate), mask, deterministic)
         return x
 
 
-class LongNetEncoder(nn.Module):
-    """Stack of LongNet layers with split prepare/run API.
+def default_spans(cfg: LongNetConfig,
+                  interaction_indexes=None) -> Tuple[Tuple[int, int], ...]:
+    """Layer spans: one per adapter interaction (plus a pre-span), or a
+    single span covering the whole encoder."""
+    if not interaction_indexes:
+        return ((0, cfg.num_layers),)
+    spans = []
+    first = interaction_indexes[0][0]
+    if first != 0:
+        spans.append((0, first))
+    for lo, hi in interaction_indexes:
+        spans.append((int(lo), int(hi) + 1))
+    return tuple(spans)
 
-    The reference exposes ``prepare_forward`` / ``layer_forward``
-    (``encoder.py:342-436``) precisely so the Modal Adapter can interleave
-    interaction blocks between layer spans; we keep that contract:
-    :meth:`prepare` embeds dropout + padding zeroing, :meth:`run_layers`
-    runs a half-open span ``[lo, hi)``, and :meth:`finalize` applies the
-    encoder-level LayerNorm used only by the plain backbone path.
-    """
+
+class LongNetEncoder(nn.Module):
+    """Span-scanned LongNet encoder with the reference's split
+    prepare/run API (``encoder.py:342-436``): :meth:`prepare` embeds
+    dropout + padding zeroing, :meth:`run_layers` runs one span
+    ``[lo, hi)``, :meth:`finalize` applies the encoder-level LayerNorm
+    used only by the plain backbone path."""
 
     cfg: LongNetConfig
+    spans: Optional[Tuple[Tuple[int, int], ...]] = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        layer_cls = LongNetEncoderLayer
-        if self.cfg.remat:
-            layer_cls = nn.remat(LongNetEncoderLayer,
-                                 static_argnums=(2,))
-        self.layers = [layer_cls(self.cfg, depth=i, dtype=self.dtype,
-                                 name=f"layers_{i}")
-                       for i in range(self.cfg.num_layers)]
-        self.embed_dropout = nn.Dropout(self.cfg.dropout)
-        if self.cfg.normalize_output and self.cfg.normalize_before:
-            self.layer_norm = nn.LayerNorm(epsilon=self.cfg.layernorm_eps,
+        c = self.cfg
+        spans = self.spans if self.spans else ((0, c.num_layers),)
+        self._span_bounds = tuple((int(a), int(b)) for a, b in spans)
+        assert self._span_bounds[0][0] == 0
+        assert self._span_bounds[-1][1] == c.num_layers
+        for (a, b), (a2, _) in zip(self._span_bounds,
+                                   self._span_bounds[1:]):
+            assert b == a2, f"spans must tile the encoder: {spans}"
+
+        body = ScannedLongNetLayer
+        if c.remat:
+            # static_argnums counts self: (self, x, rate, mask, det) -> 4
+            body = nn.remat(body, static_argnums=(4,), prevent_cse=False)
+        mods = []
+        for k, (a, b) in enumerate(self._span_bounds):
+            span_cls = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=b - a)
+            mods.append(span_cls(c, dtype=self.dtype, name=f"span_{k}"))
+        self.span_modules = mods
+
+        if c.drop_path_rate > 0 and c.num_layers > 1:
+            self._rates = [c.drop_path_rate * i / (c.num_layers - 1)
+                           for i in range(c.num_layers)]
+        else:
+            self._rates = [0.0] * c.num_layers
+
+        self.embed_dropout = nn.Dropout(c.dropout)
+        if c.normalize_output and c.normalize_before:
+            self.layer_norm = nn.LayerNorm(epsilon=c.layernorm_eps,
                                            dtype=self.dtype,
                                            name="layer_norm")
         else:
             self.layer_norm = None
+
+    @property
+    def span_bounds(self):
+        return self._span_bounds
 
     def prepare(self, x, mask: Optional[jax.Array] = None,
                 deterministic: bool = True):
@@ -165,8 +236,14 @@ class LongNetEncoder(nn.Module):
     def run_layers(self, x, lo: int, hi: int,
                    mask: Optional[jax.Array] = None,
                    deterministic: bool = True):
-        for i in range(lo, hi):
-            x = self.layers[i](x, mask, deterministic)
+        try:
+            k = self._span_bounds.index((lo, hi))
+        except ValueError as e:
+            raise ValueError(
+                f"run_layers({lo},{hi}) must match a configured span "
+                f"{self._span_bounds}") from e
+        rates = jnp.asarray(self._rates[lo:hi], jnp.float32)
+        x, _ = self.span_modules[k](x, rates, mask, deterministic)
         return x
 
     def finalize(self, x):
@@ -177,5 +254,6 @@ class LongNetEncoder(nn.Module):
     def __call__(self, x, mask: Optional[jax.Array] = None,
                  deterministic: bool = True):
         x = self.prepare(x, mask, deterministic)
-        x = self.run_layers(x, 0, self.cfg.num_layers, mask, deterministic)
+        for lo, hi in self._span_bounds:
+            x = self.run_layers(x, lo, hi, mask, deterministic)
         return self.finalize(x)

@@ -49,8 +49,12 @@ class ModalTuneModel(nn.Module):
         b = self.cfg.backbone
         d = b.embed_dim
 
-        # top-level name 'backbone' is the frozen-parameter partition key
-        self.backbone = LongNetViT(b, dtype=self.dtype, name="backbone")
+        # top-level name 'backbone' is the frozen-parameter partition key;
+        # encoder layers are span-scanned at the interaction boundaries
+        from .longnet import default_spans
+        spans = default_spans(b.longnet(), a.interaction_indexes)
+        self.backbone = LongNetViT(b, spans=spans, dtype=self.dtype,
+                                   name="backbone")
 
         gene_cfg = self.cfg.gene
         if gene_cfg.output_dim != d:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import LongNetConfig, SlideEncoderConfig
-from .longnet import LongNetEncoder
+from .longnet import LongNetEncoder, default_spans
 
 
 def sincos_1d(pos: jax.Array, dim: int) -> jax.Array:
@@ -72,6 +72,7 @@ class LongNetViT(nn.Module):
 
     cfg: SlideEncoderConfig
     longnet: Optional[LongNetConfig] = None
+    spans: Optional[tuple] = None   # layer spans (see longnet.default_spans)
     dtype: Any = jnp.float32
 
     @property
@@ -87,7 +88,8 @@ class LongNetViT(nn.Module):
             "cls_token",
             nn.initializers.normal(stddev=0.02),  # slide_encoder.py:157
             (1, 1, c.embed_dim))
-        self.encoder = LongNetEncoder(self._longnet_cfg, dtype=self.dtype,
+        self.encoder = LongNetEncoder(self._longnet_cfg,
+                                      spans=self.spans, dtype=self.dtype,
                                       name="encoder")
         self.norm = nn.LayerNorm(epsilon=c.norm_eps, dtype=self.dtype,
                                  name="norm")
@@ -136,6 +138,6 @@ class LongNetViT(nn.Module):
     def __call__(self, x, coords, mask: Optional[jax.Array] = None,
                  deterministic: bool = True):
         h, seq_mask = self.embed(x, coords, mask, deterministic)
-        h = self.run_layers(h, 0, self._longnet_cfg.num_layers, seq_mask,
-                            deterministic)
+        for lo, hi in self.encoder.span_bounds:
+            h = self.run_layers(h, lo, hi, seq_mask, deterministic)
         return self.pool(h, seq_mask)

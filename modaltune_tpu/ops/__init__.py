@@ -1,8 +1,10 @@
 from .flash_attention import (NEG_INF, flash_attention,
-                              flash_attention_reference)
+                              flash_attention_reference, get_flash_mode,
+                              set_flash_mode)
 from .dilated import dense_to_sparse, dilated_attention, sparse_to_dense
 
 __all__ = [
     "NEG_INF", "flash_attention", "flash_attention_reference",
+    "get_flash_mode", "set_flash_mode",
     "dense_to_sparse", "sparse_to_dense", "dilated_attention",
 ]

@@ -41,6 +41,21 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e9
 _MASK_THRESHOLD = NEG_INF * 0.5
 
+# Global kernel-choice override: 'auto' (Pallas on TPU), 'pallas', 'xla'.
+# GSPMD sequence-parallel runs force 'xla' so the compiler can partition
+# the attention einsums; Pallas calls are device-local (use shard_map).
+_FLASH_MODE = "auto"
+
+
+def set_flash_mode(mode: str) -> None:
+    global _FLASH_MODE
+    assert mode in ("auto", "pallas", "xla"), mode
+    _FLASH_MODE = mode
+
+
+def get_flash_mode() -> str:
+    return _FLASH_MODE
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -357,7 +372,13 @@ def flash_attention(q, k, v, bias=None, scale=None, *,
         scale = q.shape[-1] ** -0.5
     scale = float(scale)
     if use_pallas is None:
-        use_pallas = pltpu is not None and jax.default_backend() == "tpu"
+        if _FLASH_MODE == "xla":
+            use_pallas = False
+        elif _FLASH_MODE == "pallas":
+            use_pallas = True
+        else:
+            use_pallas = pltpu is not None and \
+                jax.default_backend() == "tpu"
     if not use_pallas:
         return flash_attention_reference(q, k, v, bias, scale)
     if bias is None:

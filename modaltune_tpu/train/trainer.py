@@ -1,0 +1,314 @@
+"""Experiment lifecycle: the ModalTune trainer.
+
+Rebuild of ``utils/base_trainer.py`` (Trainer: seeding, run dirs, config
+dump, epoch loop, best-model selection, k-fold) combined with
+``train_modaltune.py`` (``MILTextGeneTrainer_multitask``: KD training,
+in-loop LogReg/CoxPH readout, embedding export, deploy). Differences by
+design:
+
+* the epoch's 6-iteration debug cap (``train_modaltune.py:196-197``) is
+  off unless ``TrainConfig.reference_quirks`` is set;
+* wandb -> local JSONL metrics (utils/logging.py);
+* checkpointing saves **both** best/interval weights (like
+  ``base_trainer.py:320-340``) *and* full optimizer state for true
+  resume via orbax — the reference can only restart from weights
+  (SURVEY.md §5 checkpoint/resume gap);
+* distributed: an optional device mesh makes the train step
+  data-parallel via shard_map (replaces DDP init at
+  ``base_trainer.py:160-211``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModalTuneConfig, TrainConfig
+from ..data.datasets import Batch, BucketedLoader
+from ..eval.readout import (CoxPH, classification_metrics, filter_labelset,
+                            fit_logreg, perform_testing)
+from ..utils.logging import MetricsLogger, dump_config
+from ..utils.params_io import load_params_npz, save_params_npz
+from .losses import TextProjector, project_text
+from .state import TrainState, count_params, make_optimizer
+from .train_step import make_embed_step, make_eval_step, make_train_step
+
+
+def set_seed(seed: int) -> np.random.RandomState:
+    np.random.seed(seed)
+    return np.random.RandomState(seed)
+
+
+def _device_batch(batch: Batch) -> dict:
+    out = dict(bag=jnp.asarray(batch.bag), coords=jnp.asarray(batch.coords),
+               mask=jnp.asarray(batch.mask), genes=jnp.asarray(batch.genes))
+    out["clinical"] = None if batch.clinical is None else \
+        jnp.asarray(batch.clinical)
+    return out
+
+
+class ModalTuneTrainer:
+    """Single-site multi-task KD trainer.
+
+    Args:
+      model: a ModalTuneModel (or TITAN variant) flax module.
+      cfg: TrainConfig.
+      datasets: dict with 'train'/'val'/'test' FeatureBagDataset-likes.
+      out_dir: run directory (config dump, metrics, checkpoints).
+      buckets: bag-length buckets for static-shape batching.
+    """
+
+    def __init__(self, model, cfg: TrainConfig, datasets: Dict,
+                 out_dir: str, buckets: Sequence[int] = (4096, 8192, 16384,
+                                                         25600),
+                 batch_size: int = 1, model_cfg: Optional[
+                     ModalTuneConfig] = None, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.datasets = datasets
+        self.out_dir = Path(out_dir)
+        self.buckets = tuple(buckets)
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.rng = set_seed(cfg.seed)
+        self.logger = MetricsLogger(str(self.out_dir))
+        dump_config(str(self.out_dir), {
+            "train": dataclasses.asdict(cfg),
+            "model": dataclasses.asdict(model_cfg) if model_cfg else {},
+            "buckets": list(buckets),
+        })
+
+        self.train_loader = BucketedLoader(
+            datasets["train"], buckets=self.buckets,
+            batch_size=batch_size, shuffle=True, seed=cfg.seed)
+        self.eval_loaders = {
+            k: BucketedLoader(datasets[k], buckets=self.buckets,
+                              batch_size=batch_size, shuffle=False,
+                              seed=cfg.seed)
+            for k in ("train", "val", "test") if k in datasets}
+
+        # frozen random text projector (train_modaltune.py:113-116)
+        self.projector = TextProjector()
+        self.proj_params = self.projector.init(
+            jax.random.PRNGKey(cfg.seed + 12345),
+            jnp.zeros((1, 4, 512)))["params"]
+
+        self.state: Optional[TrainState] = None
+        self.current_epoch = 0
+        self.best_metric = float("-inf")
+        self._lr_head = None
+        self._cph = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, params: dict,
+                   frozen_dtype=None) -> TrainState:
+        steps = max(1, len(self.train_loader))
+        if self.cfg.reference_quirks:
+            steps = min(steps, 6)
+        tx = make_optimizer(self.cfg, steps_per_epoch=steps)
+        self.state = TrainState.create(params, tx,
+                                       frozen_dtype=frozen_dtype)
+        frozen_n = count_params(self.state.frozen)
+        train_n = count_params(self.state.trainable)
+        print(f"Initialized model: trainable={train_n:,} "
+              f"frozen={frozen_n:,}")
+        if self.mesh is not None:
+            from ..parallel.mesh import make_dp_train_step
+            self._train_step = make_dp_train_step(self.model, self.cfg,
+                                                  self.mesh)
+        else:
+            self._train_step = make_train_step(self.model, self.cfg)
+        self._eval_step = make_eval_step(self.model, self.cfg)
+        self._embed_step = make_embed_step(self.model, self.cfg)
+        self._step_rng = jax.random.PRNGKey(self.cfg.seed)
+        return self.state
+
+    def _text_targets(self, batch: Batch):
+        return project_text(self.projector, self.proj_params,
+                            jnp.asarray(batch.text))
+
+    # ------------------------------------------------------------------
+    def _epoch_cap(self) -> float:
+        """The reference caps single-site epochs at 6 iterations in quirks
+        mode (train_modaltune.py:196-197); pan-cancer never does."""
+        return 6 if self.cfg.reference_quirks else \
+            (self.cfg.steps_per_epoch_cap or np.inf)
+
+    def train_one_epoch(self) -> float:
+        total, n = 0.0, 0
+        cap = self._epoch_cap()
+        for batch in self.train_loader:
+            if n >= cap:
+                break
+            self._step_rng, sub = jax.random.split(self._step_rng)
+            self.state, loss = self._train_step(
+                self.state, _device_batch(batch),
+                self._text_targets(batch), sub)
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def extract_embeddings(self, loader, task0_only: bool = False):
+        """-> (embeddings (N, T, D) fp32, metadata rows). The in-loop
+        readout uses task-0 embeddings only, like
+        ``LogisticRegression_train`` (train_modaltune.py:329-376)."""
+        embs, meta = [], []
+        by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
+        for batch in loader:
+            out = self._embed_step(self.state, _device_batch(batch))
+            embs.append(np.asarray(out, np.float32))
+            meta.extend(by_case[c] for c in batch.case_ids)
+        x = np.concatenate(embs) if embs else np.zeros((0, 3, 1))
+        if task0_only:
+            x = x[:, :1]
+        return x, meta
+
+    def fit_readout_heads(self):
+        """Fit LogReg + CoxPH on train task-0 embeddings."""
+        x, meta = self.extract_embeddings(self.eval_loaders["train"])
+        x0 = x[:, 0]
+        y = np.array([m.get("primary_class", -1) for m in meta], int)
+        self._lr_head = fit_logreg(x0, y)
+        t = np.array([m.get("durations", np.nan) for m in meta], float)
+        e = np.array([m.get("vital_status", 0) for m in meta], int)
+        self._cph = CoxPH(penalizer=0.1).fit(x0, t, e)
+
+    def evaluate(self, stage: str) -> Dict[str, float]:
+        """Loss + readout metrics on a split (``evaluate``,
+        train_modaltune.py:388-458)."""
+        loader = self.eval_loaders[stage]
+        by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
+        losses, x0, meta = [], [], []
+        for batch in loader:
+            logits, loss = self._eval_step(self.state,
+                                           _device_batch(batch),
+                                           self._text_targets(batch))
+            losses.append(float(loss))
+            x0.append(np.asarray(logits[:, 0], np.float32))
+            meta.extend(by_case[c] for c in batch.case_ids)
+        x0 = np.concatenate(x0)
+        y = np.array([m.get("primary_class", -1) for m in meta], int)
+        t = np.array([m.get("durations", np.nan) for m in meta], float)
+        e = np.array([m.get("vital_status", 0) for m in meta], int)
+
+        out = {f"{stage}_cls_loss": float(np.mean(losses))}
+        if self._lr_head is not None:
+            xf, yf = filter_labelset(x0, y)
+            if len(yf):
+                m = classification_metrics(yf, self._lr_head.predict(xf))
+                out.update({f"{stage}_cls_{k}": v for k, v in m.items()})
+        if self._cph is not None:
+            out[f"{stage}_c_index"] = self._cph.score(x0, t, e)
+        return out
+
+    # ------------------------------------------------------------------
+    def save_weights(self, name: str) -> None:
+        save_params_npz(str(self.out_dir / name), self.state.params)
+
+    def load_weights(self, path: str) -> None:
+        params = load_params_npz(path)
+        frozen = {k: v for k, v in params.items() if k == "backbone"}
+        trainable = {k: v for k, v in params.items() if k != "backbone"}
+        self.state = self.state.replace(frozen=frozen, trainable=trainable)
+
+    def save_checkpoint(self, name: str = "ckpt") -> None:
+        """Full-state checkpoint (params + optimizer) for resume."""
+        import orbax.checkpoint as ocp
+        path = (self.out_dir / name).resolve()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, dict(trainable=self.state.trainable,
+                              opt_state=self.state.opt_state,
+                              step=self.state.step,
+                              epoch=self.current_epoch,
+                              best=self.best_metric), force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, name: str = "ckpt") -> bool:
+        import orbax.checkpoint as ocp
+        path = (self.out_dir / name).resolve()
+        if not path.exists():
+            return False
+        ckptr = ocp.StandardCheckpointer()
+        target = dict(trainable=self.state.trainable,
+                      opt_state=self.state.opt_state,
+                      step=self.state.step,
+                      epoch=self.current_epoch, best=self.best_metric)
+        restored = ckptr.restore(path, target)
+        self.state = self.state.replace(trainable=restored["trainable"],
+                                        opt_state=restored["opt_state"],
+                                        step=restored["step"])
+        self.current_epoch = int(restored["epoch"])
+        self.best_metric = float(restored["best"])
+        return True
+
+    # ------------------------------------------------------------------
+    def run(self, params: dict, frozen_dtype=None) -> float:
+        """Full training run -> best val key metric (balanced accuracy,
+        like ``base_trainer.py:423-543``)."""
+        self.init_state(params, frozen_dtype=frozen_dtype)
+        for epoch in range(self.current_epoch, self.cfg.num_epochs):
+            self.current_epoch = epoch
+            t0 = time.time()
+            train_loss = self.train_one_epoch()
+            row = {"epoch": epoch, "train_loss": train_loss,
+                   "epoch_sec": round(time.time() - t0, 1)}
+            if epoch % self.cfg.eval_interval == 0 and "val" in \
+                    self.eval_loaders:
+                self.fit_readout_heads()
+                row.update(self.evaluate("val"))
+                key = row.get("val_cls_bal_acc", -1.0)
+                if key > self.best_metric:
+                    self.best_metric = key
+                    self.save_weights("best_model_weights.npz")
+            self.logger.log(row, step=epoch)
+        # test with best weights, heads refit on train
+        if (self.out_dir / "best_model_weights.npz").exists():
+            self.load_weights(str(self.out_dir / "best_model_weights.npz"))
+        if "test" in self.eval_loaders:
+            self.fit_readout_heads()
+            test_row = self.evaluate("test")
+            self.logger.log(test_row, step=self.cfg.num_epochs)
+        self.logger.dump_summary()
+        return self.best_metric
+
+    def deploy(self, weights_path: Optional[str] = None,
+               penalizer: float = 0.1) -> Dict[str, dict]:
+        """Embedding export + per-task LogReg/CoxPH readout
+        (``deploy_mil``, train_modaltune.py:520-554). Saves embeddings
+        and label frames under ``out_dir/data`` like ``get_features``."""
+        if weights_path:
+            self.load_weights(weights_path)
+        data_dir = self.out_dir / "data"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        splits = {}
+        for name in ("train", "val", "test"):
+            if name not in self.eval_loaders:
+                continue
+            x, meta = self.extract_embeddings(self.eval_loaders[name])
+            splits[name] = (x, meta)
+            np.save(data_dir / f"x_feats_{name}.npy", x)
+            with open(data_dir / f"meta_{name}.json", "w") as f:
+                json.dump(meta, f, default=str)
+        results = perform_testing(splits["train"][0], splits["train"][1],
+                                  splits["test"][0], splits["test"][1],
+                                  penalizer=penalizer)
+        with open(self.out_dir / "deploy_results.json", "w") as f:
+            json.dump(results, f, indent=2)
+        return results
+
+
+def run_kfold(make_trainer, params_fn, n_folds: int = 5) -> List[float]:
+    """K-fold harness (``base_trainer.py:545-571``): caller provides a
+    factory producing a trainer per fold and an init-params fn."""
+    metrics = []
+    for fold in range(n_folds):
+        trainer = make_trainer(fold)
+        metrics.append(trainer.run(params_fn(fold)))
+    return metrics

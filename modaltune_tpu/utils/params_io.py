@@ -30,6 +30,23 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
+def stack_layers_into_spans(encoder_tree: dict, spans) -> dict:
+    """Convert per-layer params (``layers_{i}/...``, e.g. from a torch
+    checkpoint conversion) into the span-scanned layout
+    (``span_{k}/...`` with a leading layer axis) used by
+    ``LongNetEncoder`` — see ``models/longnet.py``. Non-layer entries
+    (``layer_norm`` etc.) pass through unchanged."""
+    out = {k: v for k, v in encoder_tree.items()
+           if not k.startswith("layers_")}
+    for k, (lo, hi) in enumerate(spans):
+        layer_flats = [flatten_params(encoder_tree[f"layers_{i}"])
+                       for i in range(lo, hi)]
+        stacked = {path: np.stack([lf[path] for lf in layer_flats])
+                   for path in layer_flats[0]}
+        out[f"span_{k}"] = unflatten_params(stacked)
+    return out
+
+
 def save_params_npz(path: str, tree: dict) -> None:
     np.savez(path, **flatten_params(tree))
 

@@ -24,7 +24,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from modaltune_tpu.utils.params_io import save_params_npz, unflatten_params
+from modaltune_tpu.utils.params_io import (save_params_npz,
+                                           stack_layers_into_spans,
+                                           unflatten_params)
 
 
 def convert_backbone_state_dict(state: dict) -> dict:
@@ -68,16 +70,31 @@ def convert_backbone_state_dict(state: dict) -> dict:
     return unflatten_params(flat)
 
 
+# interaction spans of the gigapath ModalTune config: layers are scanned
+# in spans (0,4),(4,8),(8,12) — see modaltune_tpu/models/longnet.py
+GIGAPATH_SPANS = ((0, 4), (4, 8), (8, 12))
+
+
+def convert_backbone_spanned(state: dict, spans=GIGAPATH_SPANS) -> dict:
+    tree = convert_backbone_state_dict(state)
+    tree["encoder"] = stack_layers_into_spans(tree["encoder"], spans)
+    return tree
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("checkpoint")
     ap.add_argument("output")
+    ap.add_argument("--spanned", action="store_true", default=True,
+                    help="stack layers into the gigapath interaction "
+                         "spans (scan layout)")
     args = ap.parse_args()
     import torch
     ckpt = torch.load(args.checkpoint, map_location="cpu",
                       weights_only=False)
     state = ckpt.get("model", ckpt)
-    tree = convert_backbone_state_dict(state)
+    tree = convert_backbone_spanned(state) if args.spanned else \
+        convert_backbone_state_dict(state)
     save_params_npz(args.output, tree)
     print(f"wrote {args.output}")
 

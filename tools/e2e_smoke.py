@@ -21,10 +21,10 @@ model = create_aggregator("longnetvit_gene_adapter", cfg=cfg,
                           max_group_len=ds.packer.max_group_len)
 loader = BucketedLoader(ds, buckets=(256, 512), batch_size=1, seed=0)
 batch = next(iter(loader))
-params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch.bag),
-                    jnp.asarray(batch.coords), jnp.asarray(batch.genes),
-                    task_token=jnp.eye(3)[:1],
-                    bag_mask=jnp.asarray(batch.mask))["params"]
+params = jax.jit(lambda r: model.init(
+    r, jnp.asarray(batch.bag), jnp.asarray(batch.coords),
+    jnp.asarray(batch.genes), task_token=jnp.eye(3)[:1],
+    bag_mask=jnp.asarray(batch.mask))["params"])(jax.random.PRNGKey(0))
 
 tcfg = TrainConfig(lr=2e-3, num_epochs=3, warmup_epochs=1)
 tx = make_optimizer(tcfg, steps_per_epoch=len(loader))

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Train ModalTune-TPU — CLI entry point.
+
+Equivalent of the reference's ``train_modaltune.py`` /
+``train_modaltune_pancancer.py`` drivers (argparse surface mirrors
+``utils/defaut_args.py`` + the per-script extensions): loads split
+JSONs, gene CSV, text embeddings and optional clinical features, builds
+the model from the aggregator registry, runs the trainer (or eval-only
+deploy with ``--eval_only``), and handles ``--multi_seed`` triplets.
+
+Example (synthetic smoke):
+  python tools/train.py --synthetic 1 --num_epochs 2 --output_path /tmp/run
+
+Real data:
+  python tools/train.py \
+    --train_json dataset/json_splits/tcga_brca/train_brca_cls_feat.json \
+    --val_json ... --test_json ... \
+    --genomics_csv_path data/tcga_brca_genes.csv \
+    --text_location data/brca_textemb.npz \
+    --pathway_csv dataset/gene_pathway_processed_v2.csv \
+    --mil_name longnetvit_gene_adapter \
+    --backbone_weights gigapath_backbone.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # setup (defaut_args.py)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--multi_seed", default=0, type=int,
+                   help="1 = run seeds s, s+1, s+2")
+    # training
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--weight_decay", default=0.01, type=float)
+    p.add_argument("--beta1", default=0.9, type=float)
+    p.add_argument("--beta2", default=0.999, type=float)
+    p.add_argument("--num_epochs", default=20, type=int)
+    p.add_argument("--eval_interval", default=1, type=int)
+    p.add_argument("--labelset", default="primary_class", type=str)
+    # data
+    p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--train_json", default="./train.json", type=str)
+    p.add_argument("--val_json", default="./val.json", type=str)
+    p.add_argument("--test_json", default="./test.json", type=str)
+    p.add_argument("--genomics_csv_path", default="", type=str)
+    p.add_argument("--text_location", default="", type=str)
+    p.add_argument("--clinical_location", default="", type=str)
+    p.add_argument("--pathway_csv", default="", type=str)
+    p.add_argument("--threshold", default=25000, type=int)
+    p.add_argument("--buckets", default="4096,8192,16384,25600", type=str)
+    # model
+    p.add_argument("--mil_name", default="longnetvit_gene_adapter",
+                   choices=["longnetvit_gene_adapter",
+                            "longnetvit_gene_clinical_adapter",
+                            "titan_gene_adapter",
+                            "titan_gene_clinical_adapter"])
+    p.add_argument("--num_tasks", default=3, type=int)
+    p.add_argument("--num_classes", default=2, type=int)
+    p.add_argument("--backbone_weights", default="", type=str,
+                   help="converted backbone .npz (tools/convert_gigapath)")
+    p.add_argument("--pancancer", default=0, type=int)
+    p.add_argument("--bf16", default=1, type=int)
+    # output / eval
+    p.add_argument("--output_path", default="./results", type=str)
+    p.add_argument("--save_embeddings", action="store_true", default=False)
+    p.add_argument("--eval_only", default=0, type=int)
+    p.add_argument("--eval_weights", default="", type=str)
+    p.add_argument("--reference_quirks", default=0, type=int,
+                   help="reproduce the 6-iteration epoch cap")
+    # synthetic smoke mode (no external data needed)
+    p.add_argument("--synthetic", default=0, type=int)
+    return p
+
+
+def load_real_datasets(args):
+    from modaltune_tpu.data import (FeatureBagDataset, GenePacker,
+                                    load_gene_csv, load_split_json,
+                                    pathway_gene_groups)
+    from modaltune_tpu.utils.constants import SITE_LABEL
+    matrix, case_ids, gene_names = load_gene_csv(args.genomics_csv_path)
+    groups = pathway_gene_groups(args.pathway_csv)
+    packer = GenePacker.build(groups, gene_names)
+
+    def load_embs(path):
+        z = np.load(path)
+        return {k: z[k] for k in z.files}
+
+    text = load_embs(args.text_location)
+    clinical = load_embs(args.clinical_location) \
+        if args.clinical_location else None
+    datasets = {}
+    for name, path in (("train", args.train_json), ("val", args.val_json),
+                       ("test", args.test_json)):
+        rows = load_split_json(path)
+        if isinstance(rows, dict):
+            rows = rows["data"]
+        datasets[name] = FeatureBagDataset(
+            rows, matrix, case_ids, packer, text, clinical=clinical,
+            labelset=args.labelset, threshold=args.threshold,
+            site_label=SITE_LABEL if args.pancancer else None)
+    return datasets, packer
+
+
+def load_synthetic_datasets(args):
+    from modaltune_tpu.data import SyntheticSlideDataset
+    packer = SyntheticSlideDataset(n_cases=1).packer
+    clin = 5 if "clinical" in args.mil_name else 0
+    datasets = {
+        name: SyntheticSlideDataset(
+            n_cases=8, in_chans=1536, bag_range=(256, 1024),
+            packer=packer, clinical_dim=clin, threshold=args.threshold,
+            seed=i, n_sites=4 if args.pancancer else 1)
+        for i, name in enumerate(("train", "val", "test"))}
+    return datasets, packer
+
+
+def run_one_seed(args):
+    import jax
+    import jax.numpy as jnp
+    from modaltune_tpu.configs import (TrainConfig, TitanModalTuneConfig,
+                                       gigapath_modaltune_config)
+    from modaltune_tpu.models import create_aggregator
+    from modaltune_tpu.train.pancancer_trainer import PanCancerTrainer
+    from modaltune_tpu.train.trainer import ModalTuneTrainer
+    from modaltune_tpu.utils.params_io import load_params_npz
+
+    if args.synthetic:
+        datasets, packer = load_synthetic_datasets(args)
+    else:
+        datasets, packer = load_real_datasets(args)
+
+    clinical = "clinical" in args.mil_name
+    if args.mil_name.startswith("titan"):
+        model_cfg = TitanModalTuneConfig()
+    else:
+        model_cfg = gigapath_modaltune_config(clinical=clinical)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = create_aggregator(args.mil_name, cfg=model_cfg,
+                              n_gene_groups=packer.n_groups,
+                              max_group_len=packer.max_group_len,
+                              dtype=dtype)
+
+    tcfg = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
+                       beta1=args.beta1, beta2=args.beta2,
+                       num_epochs=args.num_epochs, seed=args.seed,
+                       eval_interval=args.eval_interval,
+                       num_tasks=args.num_tasks,
+                       threshold=args.threshold,
+                       reference_quirks=bool(args.reference_quirks))
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    out_dir = Path(args.output_path) / f"seed_{args.seed}"
+    cls = PanCancerTrainer if args.pancancer else ModalTuneTrainer
+    trainer = cls(model, tcfg, datasets, str(out_dir), buckets=buckets,
+                  batch_size=args.batch_size)
+
+    # init params on a small example
+    rng = np.random.RandomState(0)
+    ex = datasets["train"].get(0, rng)
+    l0 = min(ex.bag.shape[0], 256)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.asarray(ex.bag[None, :l0]),
+        jnp.asarray(ex.coords[None, :l0]), jnp.asarray(ex.genes[None]),
+        task_token=jnp.eye(args.num_tasks)[:1],
+        clinical=(jnp.asarray(ex.clinical[None])
+                  if ex.clinical is not None else None))["params"])(
+        jax.random.PRNGKey(args.seed))
+    if args.backbone_weights:
+        loaded = load_params_npz(args.backbone_weights)
+        params = dict(params)
+        params["backbone"] = loaded.get("backbone", loaded)
+        print(f"loaded backbone weights from {args.backbone_weights}")
+
+    if args.eval_only:
+        trainer.init_state(params, frozen_dtype=dtype)
+        return trainer.deploy(weights_path=args.eval_weights or None)
+
+    best = trainer.run(params, frozen_dtype=dtype)
+    print(f"seed {args.seed}: best val metric = {best:.4f}")
+    if args.save_embeddings:
+        trainer.deploy(weights_path=str(out_dir /
+                                        "best_model_weights.npz"))
+    return best
+
+
+def main():
+    args = build_parser().parse_args()
+    seeds = [args.seed, args.seed + 1, args.seed + 2] if args.multi_seed \
+        else [args.seed]
+    results = []
+    for seed in seeds:
+        args.seed = seed
+        results.append(run_one_seed(args))
+    if len(results) > 1 and all(isinstance(r, float) for r in results):
+        print(f"multi-seed mean={np.mean(results):.4f} "
+              f"std={np.std(results):.4f}")
+
+
+if __name__ == "__main__":
+    main()
