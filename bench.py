@@ -113,7 +113,7 @@ def main():
                           "an estimated 1.0 slides/sec for torch+A100"),
         "loss": float(loss),
         "backend": jax.default_backend(),
-        "step_ms": round(1000 * dt / ITERS, 1),
+        "step_ms": round(1000 * dt, 1),
     }))
 
 

@@ -112,8 +112,22 @@ def collate(examples: Sequence[Example], bucket: int) -> Batch:
     )
 
 
+_BAGCACHE_READERS: Dict[str, object] = {}
+
+
 def load_feature_bag(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Load one slide's cached tile features: (features, coords)."""
+    """Load one slide's cached tile features: (features, coords).
+
+    Supports per-slide ``.npz``/``.pt`` files and the packed native
+    container via ``cache.mtbc:IDX`` paths (see data/bagcache.py)."""
+    if ".mtbc:" in str(path):
+        base, idx = str(path).rsplit(":", 1)
+        from .bagcache import BagCacheReader
+        reader = _BAGCACHE_READERS.get(base)
+        if reader is None:
+            reader = BagCacheReader(base)
+            _BAGCACHE_READERS[base] = reader
+        return reader.read(int(idx))
     p = Path(path)
     if p.suffix == ".npz":
         z = np.load(p)
@@ -319,6 +333,44 @@ class BucketedLoader:
             if item is sentinel:
                 break
             yield item
+
+
+class SubsetDataset:
+    """View over a case-wise dataset restricted to a subset of cases —
+    used by the k-fold harness (``base_trainer.py:242-272,545-571``)."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.packer = getattr(dataset, "packer", None)
+        self.case_ids = [dataset.case_ids[i] for i in self.indices]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def metadata(self):
+        meta = self.dataset.metadata()
+        return [meta[i] for i in self.indices]
+
+    def get(self, index: int, rng):
+        return self.dataset.get(self.indices[index], rng)
+
+
+def kfold_splits(dataset, n_folds: int, seed: int = 0):
+    """Case-level k-fold partition -> list of (train_subset, val_subset),
+    stratified-free round-robin like the reference's KFold over cases."""
+    n = len(dataset)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    folds = [order[i::n_folds] for i in range(n_folds)]
+    out = []
+    for k in range(n_folds):
+        val_idx = folds[k]
+        train_idx = np.concatenate([folds[j] for j in range(n_folds)
+                                    if j != k])
+        out.append((SubsetDataset(dataset, train_idx.tolist()),
+                    SubsetDataset(dataset, val_idx.tolist())))
+    return out
 
 
 def load_split_json(path: str) -> List[dict]:

@@ -6,8 +6,8 @@ a liblinear LogisticRegression scores subtype accuracy / balanced
 accuracy and a ridge-penalized CoxPH (penalizer 0.1) scores the survival
 concordance index. lifelines is not available in this environment, so
 CoxPH is implemented natively: Efron-tie partial likelihood with L2
-penalty, Newton iterations via jax autodiff (the design matrix is only
-(N, 256), so the Hessian is tiny).
+penalty and Newton iterations with analytic gradient/Hessian in numpy
+(the design matrix is only (N, 256), so the Hessian is tiny).
 """
 
 from __future__ import annotations
@@ -200,11 +200,16 @@ def fit_logreg(x_train, y_train, seed: int = 0):
     return clf.fit(x, y)
 
 
-def classification_metrics(y_true, y_pred) -> Dict[str, float]:
+def classification_metrics(y_true, y_pred,
+                           y_probs=None) -> Dict[str, float]:
+    """acc / balanced acc / recall / precision / F1 (+ ROC AUC and the
+    confusion matrix when probabilities are given) — the metric set the
+    reference logs to wandb (train_modaltune.py:479-497)."""
     from sklearn.metrics import (accuracy_score, balanced_accuracy_score,
-                                 f1_score, precision_score, recall_score)
+                                 confusion_matrix, f1_score,
+                                 precision_score, recall_score)
     avg = "macro" if len(np.unique(y_true)) > 2 else "binary"
-    return dict(
+    out = dict(
         acc=float(accuracy_score(y_true, y_pred)),
         bal_acc=float(balanced_accuracy_score(y_true, y_pred)),
         recall=float(recall_score(y_true, y_pred, average=avg,
@@ -212,6 +217,20 @@ def classification_metrics(y_true, y_pred) -> Dict[str, float]:
         precision=float(precision_score(y_true, y_pred, average=avg,
                                         zero_division=0)),
         f1=float(f1_score(y_true, y_pred, average=avg, zero_division=0)))
+    if y_probs is not None and len(np.unique(y_true)) > 1:
+        from sklearn.metrics import roc_auc_score
+        try:
+            probs = np.asarray(y_probs)
+            if probs.ndim == 2 and probs.shape[1] == 2:
+                out["auc"] = float(roc_auc_score(y_true, probs[:, 1]))
+            else:
+                out["auc"] = float(roc_auc_score(
+                    y_true, probs, multi_class="ovr"))
+        except ValueError:
+            pass
+        out["confusion_matrix"] = confusion_matrix(
+            y_true, y_pred).tolist()
+    return out
 
 
 def perform_testing(x_train: np.ndarray, meta_train: Sequence[dict],

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import LongNetConfig
-from ..ops import dilated_attention
+from ..ops import dilated_attention_fast as dilated_attention
 
 
 class DilatedSelfAttention(nn.Module):

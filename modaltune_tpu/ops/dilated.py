@@ -124,21 +124,30 @@ def _branch(q, k, v, mask, seg_len: int, ratio: int, scale: float,
     qs = seg(q, ((0, 0), (0, 0)))
     ks = seg(k, ((0, 0), (0, 0)))
     vs = seg(v, ((0, 0), (0, 0)))
-    if mask is None:
-        mask = jnp.ones((b, length), bool)
-    ms = seg(mask[..., None] & jnp.ones((1, 1, h), bool), ((0, 0),))
+    # mask work is skipped entirely for full buckets (mask=None and no
+    # segment padding): the kernel then runs its no-bias fast path
+    need_mask = mask is not None or lp != length
+    ms = None
+    if need_mask:
+        if mask is None:
+            mask = jnp.ones((b, length), bool)
+        ms = seg(mask[..., None] & jnp.ones((1, 1, h), bool), ((0, 0),))
 
     qs = dense_to_sparse(qs, ratio)      # (B*n, S, H, D), S = ceil(sl/r)
     ks = dense_to_sparse(ks, ratio)
     vs = dense_to_sparse(vs, ratio)
-    ms = dense_to_sparse(ms, ratio)      # (B*n, S, H)
+    if ms is not None:
+        ms = dense_to_sparse(ms, ratio)  # (B*n, S, H)
 
     bn, s = qs.shape[0], qs.shape[1]
     # (B*n*H, S, D) layout for the kernel
     qk = jnp.moveaxis(qs, 2, 1).reshape(bn * h, s, d)
     kk = jnp.moveaxis(ks, 2, 1).reshape(bn * h, s, d)
     vk = jnp.moveaxis(vs, 2, 1).reshape(bn * h, s, d)
-    bias = jnp.where(jnp.moveaxis(ms, 2, 1).reshape(bn * h, s), 0.0, NEG_INF)
+    bias = None
+    if ms is not None:
+        bias = jnp.where(jnp.moveaxis(ms, 2, 1).reshape(bn * h, s),
+                         0.0, NEG_INF)
 
     out, lse = flash_attention(qk, kk, vk, bias, scale,
                                block_q=block_q, block_k=block_k,

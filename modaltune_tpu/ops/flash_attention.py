@@ -66,8 +66,13 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale: float, nk: int):
+def _fwd_kernel(*refs, scale: float, nk: int, has_bias: bool):
+    if has_bias:
+        (q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+         acc_ref, m_ref, l_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref,
+         acc_ref, m_ref, l_ref) = refs
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -79,19 +84,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     q = q_ref[0]                      # (bq, d)
     k = k_ref[0]                      # (bk, d)
     v = v_ref[0]                      # (bk, d)
-    bias = bias_ref[0]                # (1, bk) additive, 0 or NEG_INF
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s * scale + bias              # (bq, bk)
+    s = s * scale
+    if has_bias:
+        s = s + bias_ref[0]           # (1, bk) additive, 0 or NEG_INF
 
     m_prev = m_ref[:, :1]             # (bq, 1)
     l_prev = l_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
-    # Exact zero for masked keys: when every key in the block is masked the
-    # row max equals NEG_INF and exp(0)=1 would otherwise leak mass.
-    p = jnp.where(bias > _MASK_THRESHOLD, p, 0.0)
+    if has_bias:
+        # Exact zero for masked keys: when every key in the block is
+        # masked the row max equals NEG_INF and exp(0)=1 would otherwise
+        # leak mass.
+        p = jnp.where(bias_ref[0] > _MASK_THRESHOLD, p, 0.0)
     corr = jnp.exp(m_prev - m_new)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
@@ -116,27 +124,37 @@ def _fwd_pallas(q, k, v, bias, scale, block_q, block_k):
     bq = min(block_q, _round_up(Lq, 8))
     bk = min(block_k, _round_up(Lk, 8))
     Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
+    has_bias = bias is not None
     if Lqp != Lq:
         q = jnp.pad(q, ((0, 0), (0, Lqp - Lq), (0, 0)))
     if Lkp != Lk:
         k = jnp.pad(k, ((0, 0), (0, Lkp - Lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, Lkp - Lk), (0, 0)))
+        if not has_bias:
+            # key padding introduced here must still be masked out
+            bias = jnp.zeros((BH, Lk), jnp.float32)
+            has_bias = True
         bias = jnp.pad(bias, ((0, 0), (0, Lkp - Lk)),
                        constant_values=NEG_INF)
     nq, nk = Lqp // bq, Lkp // bk
     # TPU blocks need the 2nd-to-last dim divisible by 8 (or full): carry
     # per-token scalars as (BH, 1, L) so blocks are (1, 1, bk)/(1, 1, bq).
-    bias = bias[:, None, :]
+    in_specs = [
+        pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+    ]
+    operands = [q, k, v]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)))
+        operands.append(bias[:, None, :])
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        functools.partial(_fwd_kernel, scale=scale, nk=nk,
+                          has_bias=has_bias),
         grid=(BH, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
@@ -150,7 +168,7 @@ def _fwd_pallas(q, k, v, bias, scale, block_q, block_k):
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
-    )(q, k, v, bias)
+    )(*operands)
     return out[:, :Lq], lse[:, 0, :Lq]
 
 
@@ -235,6 +253,9 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
     do, _ = grads
     BH, Lq, D = q.shape
     Lk = k.shape[1]
+    bias_was_none = bias is None
+    if bias_was_none:
+        bias = jnp.zeros((BH, Lk), jnp.float32)
     bq = min(block_q, _round_up(Lq, 8))
     bk = min(block_k, _round_up(Lk, 8))
     Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
@@ -307,7 +328,8 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
     # is likewise treated as non-differentiable: the dilated branch mixer
     # applies stop_gradient to its lse-derived weights, matching the
     # reference's torch.no_grad at dilated_attention.py:132-137.
-    return (dq[:, :Lq], dk[:, :Lk], dv[:, :Lk], jnp.zeros_like(res[3]))
+    dbias = None if bias_was_none else jnp.zeros_like(bias)
+    return (dq[:, :Lq], dk[:, :Lk], dv[:, :Lk], dbias)
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +403,6 @@ def flash_attention(q, k, v, bias=None, scale=None, *,
                 jax.default_backend() == "tpu"
     if not use_pallas:
         return flash_attention_reference(q, k, v, bias, scale)
-    if bias is None:
-        bias = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
-    return _flash_pallas(q, k, v, bias.astype(jnp.float32), scale,
-                         block_q, block_k)
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+    return _flash_pallas(q, k, v, bias, scale, block_q, block_k)

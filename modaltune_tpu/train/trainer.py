@@ -202,8 +202,16 @@ class ModalTuneTrainer:
         if self._lr_head is not None:
             xf, yf = filter_labelset(x0, y)
             if len(yf):
-                m = classification_metrics(yf, self._lr_head.predict(xf))
+                m = classification_metrics(
+                    yf, self._lr_head.predict(xf),
+                    y_probs=self._lr_head.predict_proba(xf))
+                cm = m.pop("confusion_matrix", None)
                 out.update({f"{stage}_cls_{k}": v for k, v in m.items()})
+                if cm is not None:
+                    import json as _json
+                    with open(self.out_dir /
+                              f"confusion_{stage}.json", "w") as f:
+                        _json.dump(cm, f)
         if self._cph is not None:
             out[f"{stage}_c_index"] = self._cph.score(x0, t, e)
         return out

@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_weights", default="", type=str)
     p.add_argument("--reference_quirks", default=0, type=int,
                    help="reproduce the 6-iteration epoch cap")
+    p.add_argument("--num_folds", default=0, type=int,
+                   help=">1 runs case-level k-fold cross-validation over "
+                        "the train split")
     # synthetic smoke mode (no external data needed)
     p.add_argument("--synthetic", default=0, type=int)
     return p
@@ -185,6 +188,24 @@ def run_one_seed(args):
     if args.eval_only:
         trainer.init_state(params, frozen_dtype=dtype)
         return trainer.deploy(weights_path=args.eval_weights or None)
+
+    if args.num_folds > 1:
+        from modaltune_tpu.data import kfold_splits
+        fold_metrics = []
+        for k, (tr, va) in enumerate(kfold_splits(datasets["train"],
+                                                  args.num_folds,
+                                                  seed=args.seed)):
+            fold_sets = dict(datasets)
+            fold_sets["train"], fold_sets["val"] = tr, va
+            fold_trainer = cls(model, tcfg, fold_sets,
+                               str(out_dir / f"fold_{k}"),
+                               buckets=buckets,
+                               batch_size=args.batch_size)
+            fold_metrics.append(fold_trainer.run(params,
+                                                 frozen_dtype=dtype))
+        print(f"k-fold metrics: {fold_metrics} "
+              f"mean={np.mean(fold_metrics):.4f}")
+        return float(np.mean(fold_metrics))
 
     best = trainer.run(params, frozen_dtype=dtype)
     print(f"seed {args.seed}: best val metric = {best:.4f}")
