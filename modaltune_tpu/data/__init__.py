@@ -1,6 +1,6 @@
 from .pathways import GenePacker, pathway_gene_groups, synthetic_pathways
 from .datasets import (Batch, BucketedLoader, DEFAULT_BUCKETS, Example,
-                       FeatureBagDataset, SubsetDataset,
+                       FeatureBagDataset, SubsetDataset, TitanGridDataset,
                        SyntheticSlideDataset, choose_bucket, collate,
                        kfold_splits, load_feature_bag, load_gene_csv,
                        load_split_json, pad_bag)
@@ -10,5 +10,5 @@ __all__ = [
     "BucketedLoader", "DEFAULT_BUCKETS", "Example", "FeatureBagDataset",
     "SyntheticSlideDataset", "choose_bucket", "collate",
     "load_feature_bag", "load_gene_csv", "load_split_json", "pad_bag",
-    "SubsetDataset", "kfold_splits",
+    "SubsetDataset", "TitanGridDataset", "kfold_splits",
 ]

@@ -335,6 +335,37 @@ class BucketedLoader:
             yield item
 
 
+class TitanGridDataset:
+    """Wrapper applying TITAN's grid scatter to each example: the bag of
+    patch features becomes a list of grid-cell tokens with grid
+    coordinates and a foreground mask (``preprocess_features``,
+    titan_adapter.py:295-327 — done host-side here so device shapes stay
+    static)."""
+
+    def __init__(self, dataset, patch_size_lv0: int = 1024):
+        self.dataset = dataset
+        self.patch_size_lv0 = patch_size_lv0
+        self.packer = getattr(dataset, "packer", None)
+        self.case_ids = dataset.case_ids
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def metadata(self):
+        return self.dataset.metadata()
+
+    def get(self, index: int, rng) -> Example:
+        from ..models.titan import grid_scatter_bag
+        ex = self.dataset.get(index, rng)
+        tokens, gcoords, valid = grid_scatter_bag(
+            ex.bag, ex.coords, self.patch_size_lv0)
+        # keep only foreground cells (they are ordered first); bucketing
+        # pads back to static shapes downstream
+        n_fg = int(valid.sum())
+        return dataclasses.replace(ex, bag=tokens[:n_fg],
+                                   coords=gcoords[:n_fg])
+
+
 class SubsetDataset:
     """View over a case-wise dataset restricted to a subset of cases —
     used by the k-fold harness (``base_trainer.py:242-272,545-571``)."""

@@ -33,7 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
 from ..configs import GeneEncoderConfig, TitanModalTuneConfig
+from ..ops.alibi_flash import alibi_flash_attention
 from .adapter import InteractionBlock
 from .gene import GeneMixerEncoder
 from .layers import DropPath, SelfAttentionLayer, mask_to_bias
@@ -117,9 +123,12 @@ def alibi_bias(grid_coords: jax.Array, num_heads: int,
 
 
 class BiasedMHA(nn.Module):
-    """timm-style fused-qkv self-attention with an additive
-    (B, H, N, N) bias (ALiBi + key mask). Dense XLA attention: TITAN
-    grids are a few thousand tokens, so scores fit comfortably."""
+    """timm-style fused-qkv self-attention with ALiBi.
+
+    ``bias`` is either a dense additive (B, H, N, N) tensor (XLA
+    fallback) or an ``("alibi", coords3, slopes, key_mask)`` context, in
+    which case the bias is computed in-kernel by the fused Pallas ALiBi
+    flash kernel (ops/alibi_flash.py) — no (H, N, N) materialization."""
 
     dim: int
     num_heads: int
@@ -127,7 +136,7 @@ class BiasedMHA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias: Optional[jax.Array] = None):
+    def __call__(self, x, bias=None):
         b, n, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -135,12 +144,18 @@ class BiasedMHA(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]              # (B, H, N, dh)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                       preferred_element_type=jnp.float32) * (dh ** -0.5)
-        if bias is not None:
-            s = s + bias
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        if isinstance(bias, tuple) and bias and bias[0] == "alibi":
+            _, coords3, slopes, key_mask = bias
+            out = alibi_flash_attention(q, k, v, coords3, slopes,
+                                        key_mask=key_mask)
+        else:
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32) * (dh ** -0.5)
+            if bias is not None:
+                s = s + bias
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
@@ -261,12 +276,26 @@ class TitanViT(nn.Module):
                                (h.shape[0], 1, c.embed_dim))
         x = jnp.concatenate([cls, h], axis=1)
         x = self.norm_pre(x)
-        bias = None
-        if c.pos_encode_type == "alibi":
-            bias = alibi_bias(grid_coords, c.num_heads, valid)
-            bias = bias.astype(jnp.float32)
         seq_mask = jnp.concatenate(
             [jnp.ones((x.shape[0], 1), bool), valid], axis=1)
+        bias = None
+        if c.pos_encode_type == "alibi":
+            if pltpu is not None and jax.default_backend() == "tpu":
+                # fused Pallas path: pass coords (+cls flag) + slopes
+                b = grid_coords.shape[0]
+                cls_c = jnp.concatenate(
+                    [jnp.zeros((b, 1, 2), jnp.float32),
+                     jnp.ones((b, 1, 1), jnp.float32)], axis=-1)
+                gc = jnp.concatenate(
+                    [grid_coords.astype(jnp.float32),
+                     jnp.zeros(grid_coords.shape[:2] + (1,),
+                               jnp.float32)], axis=-1)
+                coords3 = jnp.concatenate([cls_c, gc], axis=1)
+                slopes = jnp.asarray(alibi_slopes(c.num_heads))
+                bias = ("alibi", coords3, slopes, seq_mask)
+            else:
+                bias = alibi_bias(grid_coords, c.num_heads,
+                                  valid).astype(jnp.float32)
         x = x * seq_mask[..., None].astype(x.dtype)
         return x, bias, seq_mask
 

@@ -1,0 +1,394 @@
+"""Flash attention with in-kernel 2-D ALiBi bias (TITAN backbone).
+
+The reference TITAN materializes a dense ``(H, N, N)`` ALiBi tensor from
+grid coordinates and hands it to every block
+(``titan_adapter.py:249-293``) — at a few thousand grid tokens that is
+hundreds of MB of HBM traffic per layer. This kernel computes the bias
+on the fly per tile from the (N, 3) coordinate array
+(``[row, col, is_cls]``; cls rows/cols get zero bias) and a per-head
+slope, fused into the flash softmax:
+
+    s_ij = q_i . k_j * scale - slope_h * ||c_i - c_j||_2 + key_bias_j
+
+Forward + custom-VJP backward mirror ops/flash_attention.py. A pure-XLA
+reference (:func:`alibi_attention_reference`) is the CPU fallback and
+numerical oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _pick_block,
+                              _round_up)
+
+
+def _tile_bias(cq, ck, slope):
+    """(bq, 3) x (bk, 3) -> (bq, bk) ALiBi bias tile in fp32."""
+    dy = cq[:, 0:1] - ck[:, 0:1].T
+    dx = cq[:, 1:2] - ck[:, 1:2].T
+    dist = jnp.sqrt(dy * dy + dx * dx)
+    not_cls = (1.0 - cq[:, 2:3]) * (1.0 - ck[:, 2:3].T)
+    return -slope * dist * not_cls
+
+
+def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
+                o_ref, lse_ref, acc_ref, m_ref, l_ref, *,
+                scale: float, nk: int):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    cq = cq_ref[0].astype(jnp.float32)
+    ck = ck_ref[0].astype(jnp.float32)
+    kbias = bias_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale + _tile_bias(cq, ck, slope_ref[pl.program_id(0)]) + kbias
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    p = jnp.where(kbias > _MASK_THRESHOLD, p, 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_ref[:, :1] + jnp.log(l_safe),
+                        jnp.float32(NEG_INF))
+        lse_ref[0] = lse.reshape(1, -1)
+
+
+def _dq_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
+               do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *,
+               scale: float, nk: int):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    cq = cq_ref[0].astype(jnp.float32)
+    ck = ck_ref[0].astype(jnp.float32)
+    kbias = bias_ref[0]
+    lse = lse_ref[0].reshape(-1, 1)
+    delta = delta_ref[0].reshape(-1, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale + _tile_bias(cq, ck, slope_ref[pl.program_id(0)]) + kbias
+    p = jnp.exp(s - lse)
+    p = jnp.where(kbias > _MASK_THRESHOLD, p, 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
+                do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale: float, nq: int):
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    cq = cq_ref[0].astype(jnp.float32)
+    ck = ck_ref[0].astype(jnp.float32)
+    bias_col = bias_ref[0].reshape(-1, 1)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    st = st * scale + _tile_bias(ck, cq, slope_ref[pl.program_id(0)]) + bias_col
+    pt = jnp.exp(st - lse)
+    pt = jnp.where(bias_col > _MASK_THRESHOLD, pt, 0.0)
+    dv_acc[...] += jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dst = pt * (dpt - delta)
+    dk_acc[...] += jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qb == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _pad_args(q, k, v, coords, bias, bq, bk):
+    BH, Lq, D = q.shape
+    Lk = k.shape[1]
+    Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
+    cq = coords
+    ck = coords
+    if Lqp != Lq:
+        q = jnp.pad(q, ((0, 0), (0, Lqp - Lq), (0, 0)))
+        cq = jnp.pad(cq, ((0, 0), (0, Lqp - Lq), (0, 0)))
+    if Lkp != Lk:
+        k = jnp.pad(k, ((0, 0), (0, Lkp - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Lkp - Lk), (0, 0)))
+        ck = jnp.pad(ck, ((0, 0), (0, Lkp - Lk), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, Lkp - Lk)),
+                       constant_values=NEG_INF)
+    return q, k, v, cq, ck, bias, Lqp, Lkp
+
+
+def _specs(B, H, bq, bk, D):
+    """Input block specs (the per-(b,h) slope rides as a scalar-prefetch
+    argument). Grid is (B*H, nq, nk); coords/bias index by batch
+    b = bh // H (shared across heads)."""
+    def qmap(bh, i, j, *_):
+        return (bh, i, 0)
+
+    def kmap(bh, i, j, *_):
+        return (bh, j, 0)
+
+    return [
+        pl.BlockSpec((1, bq, D), qmap),
+        pl.BlockSpec((1, bk, D), kmap),
+        pl.BlockSpec((1, bk, D), kmap),
+        pl.BlockSpec((1, bq, 3), lambda bh, i, j, *_: (bh // H, i, 0)),
+        pl.BlockSpec((1, bk, 3), lambda bh, i, j, *_: (bh // H, j, 0)),
+        pl.BlockSpec((1, 1, bk), lambda bh, i, j, *_: (bh // H, 0, j)),
+    ]
+
+
+def _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    bq = _pick_block(block_q, Lq)
+    bk = _pick_block(block_k, Lk)
+    qf = q.reshape(B * H, Lq, D)
+    kf = k.reshape(B * H, Lk, D)
+    vf = v.reshape(B * H, Lk, D)
+    qf, kf, vf, cq, ck, bias, Lqp, Lkp = _pad_args(qf, kf, vf, coords,
+                                                   bias, bq, bk)
+    nq, nk = Lqp // bq, Lkp // bk
+    slopes_bh = jnp.tile(slopes.astype(jnp.float32)[None, :],
+                         (B, 1)).reshape(B * H)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nq, nk),
+        in_specs=_specs(B, H, bq, bk, D),
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda bh, i, j, *_: (bh, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bh, i, j, *_: (bh, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lqp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Lqp), jnp.float32),
+        ],
+    )(slopes_bh, qf, kf, vf, cq, ck, bias[:, None, :])
+    return (out[:, :Lq].reshape(B, H, Lq, D),
+            lse[:, 0, :Lq].reshape(B, H, Lq))
+
+
+def _bwd_pallas(scale, block_q, block_k, res, grads):
+    q, k, v, coords, slopes, bias, out, lse = res
+    do, _ = grads
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    bq = _pick_block(block_q, Lq)
+    bk = _pick_block(block_k, Lk)
+    qf = q.reshape(B * H, Lq, D)
+    kf = k.reshape(B * H, Lk, D)
+    vf = v.reshape(B * H, Lk, D)
+    dof = do.reshape(B * H, Lq, D)
+    outf = out.reshape(B * H, Lq, D)
+    lsef = lse.reshape(B * H, Lq)
+    delta = jnp.sum(dof.astype(jnp.float32) * outf.astype(jnp.float32),
+                    axis=-1)
+    qf, kf, vf, cq, ck, biasp, Lqp, Lkp = _pad_args(qf, kf, vf, coords,
+                                                    bias, bq, bk)
+    if Lqp != Lq:
+        dof = jnp.pad(dof, ((0, 0), (0, Lqp - Lq), (0, 0)))
+        lsef = jnp.pad(lsef, ((0, 0), (0, Lqp - Lq)))
+        delta = jnp.pad(delta, ((0, 0), (0, Lqp - Lq)))
+    nq, nk = Lqp // bq, Lkp // bk
+    slopes_bh = jnp.tile(slopes.astype(jnp.float32)[None, :],
+                         (B, 1)).reshape(B * H)
+
+    base = _specs(B, H, bq, bk, D)
+    qrow = pl.BlockSpec((1, 1, bq), lambda bh, i, j, *_: (bh, 0, i))
+    qblk = pl.BlockSpec((1, bq, D), lambda bh, i, j, *_: (bh, i, 0))
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nq, nk),
+        in_specs=base + [qblk, qrow, qrow],
+        out_specs=qblk,
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, nk=nk),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Lqp, D), q.dtype),
+    )(slopes_bh, qf, kf, vf, cq, ck, biasp[:, None, :], dof,
+      lsef[:, None, :], delta[:, None, :])
+
+    # grid (bh, j over k-blocks, i over q-blocks)
+    kv_specs = [
+        pl.BlockSpec((1, bq, D), lambda bh, j, i, *_: (bh, i, 0)),
+        pl.BlockSpec((1, bk, D), lambda bh, j, i, *_: (bh, j, 0)),
+        pl.BlockSpec((1, bk, D), lambda bh, j, i, *_: (bh, j, 0)),
+        pl.BlockSpec((1, bq, 3), lambda bh, j, i, *_: (bh // H, i, 0)),
+        pl.BlockSpec((1, bk, 3), lambda bh, j, i, *_: (bh // H, j, 0)),
+        pl.BlockSpec((1, 1, bk), lambda bh, j, i, *_: (bh // H, 0, j)),
+        pl.BlockSpec((1, bq, D), lambda bh, j, i, *_: (bh, i, 0)),
+        pl.BlockSpec((1, 1, bq), lambda bh, j, i, *_: (bh, 0, i)),
+        pl.BlockSpec((1, 1, bq), lambda bh, j, i, *_: (bh, 0, i)),
+    ]
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nk, nq),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda bh, j, i, *_: (bh, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda bh, j, i, *_: (bh, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, nq=nq),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lkp, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Lkp, D), v.dtype),
+        ],
+    )(slopes_bh, qf, kf, vf, cq, ck, biasp[:, None, :], dof,
+      lsef[:, None, :], delta[:, None, :])
+
+    # coords / slopes / key-bias are non-learned inputs -> zero cotangents
+    return (dq[:, :Lq].reshape(B, H, Lq, D),
+            dk[:, :Lk].reshape(B, H, Lk, D),
+            dv[:, :Lk].reshape(B, H, Lk, D),
+            jnp.zeros_like(coords), jnp.zeros_like(slopes),
+            jnp.zeros_like(bias))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _alibi_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
+    return _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
+                       block_k)
+
+
+def _alibi_fwd(q, k, v, coords, slopes, bias, scale, block_q, block_k):
+    out, lse = _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
+                           block_k)
+    return (out, lse), (q, k, v, coords, slopes, bias, out, lse)
+
+
+_alibi_pallas.defvjp(_alibi_fwd, _bwd_pallas)
+
+
+def alibi_attention_reference(q, k, v, coords, slopes, key_mask=None,
+                              scale=None):
+    """Dense oracle. q/k/v: (B, H, N, D); coords: (B, N, 3); slopes: (H,).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    d = coords[:, :, None, :2] - coords[:, None, :, :2]
+    dist = jnp.sqrt(jnp.sum(d.astype(jnp.float32) ** 2, axis=-1))
+    not_cls = (1.0 - coords[:, :, None, 2]) * (1.0 - coords[:, None, :, 2])
+    bias = -slopes[None, :, None, None] * (dist * not_cls)[:, None]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale + bias
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :], s, NEG_INF)
+        p = jnp.where(key_mask[:, None, None, :],
+                      jax.nn.softmax(s, axis=-1), 0.0)
+        denom = jnp.maximum(p.sum(-1, keepdims=True), 1e-30)
+        p = p / denom
+    else:
+        p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p,
+                     v.astype(jnp.float32)).astype(q.dtype)
+    return out
+
+
+def alibi_flash_attention(q, k, v, coords, slopes,
+                          key_mask: Optional[jax.Array] = None,
+                          scale: Optional[float] = None, *,
+                          block_q: int = 512, block_k: int = 512,
+                          use_pallas: Optional[bool] = None):
+    """Fused ALiBi flash attention.
+
+    q/k/v: ``(B, H, N, D)``; coords: ``(B, N, 3)`` = [row, col, is_cls];
+    slopes: ``(H,)``; key_mask: ``(B, N)`` bool. Returns ``(B, H, N, D)``.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = pltpu is not None and jax.default_backend() == "tpu"
+    if not use_pallas:
+        return alibi_attention_reference(q, k, v, coords, slopes, key_mask,
+                                         scale)
+    b, n = q.shape[0], k.shape[2]
+    bias = jnp.zeros((b, n), jnp.float32) if key_mask is None else \
+        jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    out, _ = _alibi_pallas(q, k, v, coords.astype(jnp.float32),
+                           slopes.astype(jnp.float32), bias,
+                           float(scale), block_q, block_k)
+    return out

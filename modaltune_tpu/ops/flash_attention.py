@@ -61,6 +61,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(requested: int, length: int) -> int:
+    """Tile sizes for the (1, 1, b) aux blocks must be 128-divisible or
+    cover the whole (padded) axis."""
+    if requested >= length:
+        return _round_up(length, 8)
+    return _round_up(requested, 128)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -121,8 +129,8 @@ def _fwd_kernel(*refs, scale: float, nk: int, has_bias: bool):
 def _fwd_pallas(q, k, v, bias, scale, block_q, block_k):
     BH, Lq, D = q.shape
     Lk = k.shape[1]
-    bq = min(block_q, _round_up(Lq, 8))
-    bk = min(block_k, _round_up(Lk, 8))
+    bq = _pick_block(block_q, Lq)
+    bk = _pick_block(block_k, Lk)
     Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
     has_bias = bias is not None
     if Lqp != Lq:
@@ -256,8 +264,8 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
     bias_was_none = bias is None
     if bias_was_none:
         bias = jnp.zeros((BH, Lk), jnp.float32)
-    bq = min(block_q, _round_up(Lq, 8))
-    bk = min(block_k, _round_up(Lk, 8))
+    bq = _pick_block(block_q, Lq)
+    bk = _pick_block(block_k, Lk)
     Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),

@@ -221,7 +221,7 @@ class ModalTuneTrainer:
         save_params_npz(str(self.out_dir / name), self.state.params)
 
     def load_weights(self, path: str) -> None:
-        params = load_params_npz(path)
+        params = jax.tree.map(jnp.asarray, load_params_npz(path))
         frozen = {k: v for k, v in params.items() if k == "backbone"}
         trainable = {k: v for k, v in params.items() if k != "backbone"}
         self.state = self.state.replace(frozen=frozen, trainable=trainable)

@@ -1,11 +1,17 @@
 """Flat-dict parameter serialization (.npz) used by the weight
-converters and checkpoints that must be readable without orbax."""
+converters and checkpoints that must be readable without orbax.
+
+npz cannot store bfloat16 (it pickles to object arrays); bf16 leaves are
+saved as float32 with a dtype manifest and cast back on load."""
 
 from __future__ import annotations
 
+import json
 from typing import Dict
 
 import numpy as np
+
+_DTYPE_KEY = "__dtypes__"
 
 
 def flatten_params(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -48,9 +54,32 @@ def stack_layers_into_spans(encoder_tree: dict, spans) -> dict:
 
 
 def save_params_npz(path: str, tree: dict) -> None:
-    np.savez(path, **flatten_params(tree))
+    flat = flatten_params(tree)
+    dtypes = {}
+    out = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if v.dtype.name not in ("float64", "float32", "float16", "int32",
+                                "int64", "bool", "uint32", "uint8"):
+            dtypes[k] = v.dtype.name
+            v = v.astype(np.float32)
+        out[k] = v
+    out[_DTYPE_KEY] = np.frombuffer(
+        json.dumps(dtypes).encode(), dtype=np.uint8)
+    np.savez(path, **out)
 
 
 def load_params_npz(path: str) -> dict:
     z = np.load(path)
-    return unflatten_params({k: z[k] for k in z.files})
+    files = [k for k in z.files if k != _DTYPE_KEY]
+    dtypes = {}
+    if _DTYPE_KEY in z.files:
+        dtypes = json.loads(bytes(z[_DTYPE_KEY]).decode())
+    flat = {}
+    for k in files:
+        v = z[k]
+        if k in dtypes:
+            import ml_dtypes
+            v = v.astype(np.dtype(dtypes[k]))
+        flat[k] = v
+    return unflatten_params(flat)

@@ -1,0 +1,91 @@
+"""ALiBi flash kernel: reference-vs-dense-bias equivalence on CPU, and
+(on TPU) Pallas-vs-reference parity for forward and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modaltune_tpu.models.titan import alibi_bias, alibi_slopes
+from modaltune_tpu.ops import (alibi_attention_reference,
+                               alibi_flash_attention)
+
+from conftest import requires_tpu
+
+
+def _setup(b=2, n=24, h=4, d=16, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(keys[0], (b, h, n, d))
+    k = jax.random.normal(keys[1], (b, h, n, d))
+    v = jax.random.normal(keys[2], (b, h, n, d))
+    gc = jax.random.randint(keys[3], (b, n - 1, 2), 0, 8).astype(
+        jnp.float32)
+    # coords3 with a cls row first
+    cls = jnp.concatenate([jnp.zeros((b, 1, 2)), jnp.ones((b, 1, 1))],
+                          axis=-1)
+    coords3 = jnp.concatenate(
+        [cls, jnp.concatenate([gc, jnp.zeros((b, n - 1, 1))], -1)], axis=1)
+    valid = jnp.arange(n - 1)[None] < (n - 6)
+    valid = jnp.broadcast_to(valid, (b, n - 1))
+    key_mask = jnp.concatenate([jnp.ones((b, 1), bool), valid], axis=1)
+    slopes = jnp.asarray(alibi_slopes(h))
+    return q, k, v, coords3, gc, valid, key_mask, slopes
+
+
+def test_reference_matches_dense_bias_path():
+    """The kernel's oracle == softmax with the dense alibi_bias tensor
+    the XLA fallback uses (same masking + cls conventions)."""
+    q, k, v, coords3, gc, valid, key_mask, slopes = _setup()
+    out_ref = alibi_attention_reference(q, k, v, coords3, slopes,
+                                        key_mask=key_mask)
+    bias = alibi_bias(gc, q.shape[1], valid)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (q.shape[-1] ** -0.5) + bias
+    p = jax.nn.softmax(s, axis=-1)
+    out_dense = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_dense),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cls_row_has_zero_alibi():
+    q, k, v, coords3, gc, valid, key_mask, slopes = _setup()
+    # move everything very far: non-cls interactions get huge bias, cls
+    # row should be unaffected by distance
+    far = coords3.at[:, 1:, :2].mul(1e3)
+    out1 = alibi_attention_reference(q, k, v, coords3, slopes, key_mask)
+    out2 = alibi_attention_reference(q, k, v, far, slopes, key_mask)
+    # cls query attends with zero alibi -> identical regardless of scale
+    np.testing.assert_allclose(np.asarray(out1[:, :, 0]),
+                               np.asarray(out2[:, :, 0]), atol=1e-5)
+
+
+@requires_tpu
+@pytest.mark.parametrize("n", [128, 200])
+def test_pallas_alibi_matches_reference(n):
+    q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=n, d=64)
+    out_p = alibi_flash_attention(q, k, v, coords3, slopes,
+                                  key_mask=key_mask, use_pallas=True,
+                                  block_q=64, block_k=64)
+    out_r = alibi_attention_reference(q, k, v, coords3, slopes, key_mask)
+    np.testing.assert_allclose(np.float32(out_p), np.float32(out_r),
+                               atol=2e-2, rtol=2e-2)
+
+
+@requires_tpu
+def test_pallas_alibi_gradients():
+    q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=128, d=64)
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out.astype(jnp.float32) ** 2
+                       * key_mask[:, None, :, None])
+
+    pfn = lambda q, k, v: alibi_flash_attention(
+        q, k, v, coords3, slopes, key_mask=key_mask, use_pallas=True,
+        block_q=64, block_k=64)
+    rfn = lambda q, k, v: alibi_attention_reference(
+        q, k, v, coords3, slopes, key_mask)
+    gp = jax.grad(lambda *a: loss(pfn, *a), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(rfn, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=2e-2)

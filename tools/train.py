@@ -144,6 +144,11 @@ def run_one_seed(args):
     else:
         datasets, packer = load_real_datasets(args)
 
+    if args.mil_name.startswith("titan"):
+        # TITAN consumes grid-scattered cells, not raw patch bags
+        from modaltune_tpu.data import TitanGridDataset
+        datasets = {k: TitanGridDataset(v) for k, v in datasets.items()}
+
     clinical = "clinical" in args.mil_name
     if args.mil_name.startswith("titan"):
         model_cfg = TitanModalTuneConfig()
