@@ -67,6 +67,11 @@ class LongNetConfig:
     # TPU-specific knobs (no reference equivalent):
     mask_padding: bool = True       # mask padded keys inside attention
     remat: bool = True              # per-layer activation rematerialization
+    # remat policy: "flash" keeps the flash-attention kernel outputs
+    # (out + LSE, checkpoint_name-tagged in ops/) as residuals so the
+    # backward pass never re-runs the forward kernels (~30% step time at
+    # ~30MB/layer for a 10k-token bag); "full" recomputes everything.
+    remat_policy: str = "flash"
 
     def __post_init__(self):
         object.__setattr__(self, "segment_lengths", tuple(self.segment_lengths))

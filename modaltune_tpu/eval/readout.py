@@ -230,6 +230,30 @@ def classification_metrics(y_true, y_pred,
             pass
         out["confusion_matrix"] = confusion_matrix(
             y_true, y_pred).tolist()
+        out["roc_curve"] = roc_curve_points(y_true, y_probs)
+    return out
+
+
+def roc_curve_points(y_true, y_probs) -> Dict[str, object]:
+    """fpr/tpr point lists for export — the data behind the reference's
+    wandb ROC plot (``wandb.plot.roc_curve``, train_modaltune.py:496).
+    Binary: one curve on the positive-class score; multiclass: one
+    one-vs-rest curve per class, keyed ``"class_<k>"``."""
+    from sklearn.metrics import roc_curve
+    probs = np.asarray(y_probs)
+    classes = np.unique(y_true)
+    out: Dict[str, object] = {}
+    if probs.ndim == 2 and probs.shape[1] == 2 and len(classes) == 2:
+        fpr, tpr, _ = roc_curve(y_true, probs[:, 1])
+        out["fpr"], out["tpr"] = fpr.tolist(), tpr.tolist()
+    elif probs.ndim == 2:
+        for k in classes:
+            if int(k) >= probs.shape[1]:
+                continue
+            fpr, tpr, _ = roc_curve((np.asarray(y_true) == k).astype(int),
+                                    probs[:, int(k)])
+            out[f"class_{int(k)}"] = {"fpr": fpr.tolist(),
+                                      "tpr": tpr.tolist()}
     return out
 
 

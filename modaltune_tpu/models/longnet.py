@@ -140,6 +140,24 @@ class ScannedLongNetLayer(nn.Module):
         return x, None
 
 
+def remat_policy(name: str):
+    """Rematerialization policy by name.
+
+    ``"flash"`` saves the checkpoint_name-tagged flash-attention kernel
+    outputs (``flash_out``/``flash_lse`` — tagged inside the kernels'
+    custom-VJP forwards in ops/) so the backward pass reads them back
+    instead of re-running every forward kernel; everything else (layer
+    norms, projections, FFN activations) is still recomputed. ``"full"``
+    (or ``"none"``) recomputes everything — minimum memory.
+    """
+    if name in ("full", "none", ""):
+        return None
+    if name == "flash":
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse")
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
 # Back-compat alias for direct single-layer use in tests/tools.
 class LongNetEncoderLayer(nn.Module):
     cfg: LongNetConfig
@@ -197,7 +215,8 @@ class LongNetEncoder(nn.Module):
         body = ScannedLongNetLayer
         if c.remat:
             # static_argnums counts self: (self, x, rate, mask, det) -> 4
-            body = nn.remat(body, static_argnums=(4,), prevent_cse=False)
+            body = nn.remat(body, static_argnums=(4,), prevent_cse=False,
+                            policy=remat_policy(c.remat_policy))
         mods = []
         for k, (a, b) in enumerate(self._span_bounds):
             span_cls = nn.scan(

@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 try:
@@ -337,6 +338,11 @@ def _alibi_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
 def _alibi_fwd(q, k, v, coords, slopes, bias, scale, block_q, block_k):
     out, lse = _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
                            block_k)
+    # remat-policy names (see ops/flash_attention.py): lets
+    # save_only_these_names keep the kernel outputs so the backward does
+    # not re-run the forward kernel.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return (out, lse), (q, k, v, coords, slopes, bias, out, lse)
 
 

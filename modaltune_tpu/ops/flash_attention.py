@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend is unavailable on CPU-only builds
@@ -352,6 +353,12 @@ def _flash_pallas(q, k, v, bias, scale, block_q, block_k):
 
 def _flash_pallas_fwd(q, k, v, bias, scale, block_q, block_k):
     out, lse = _fwd_pallas(q, k, v, bias, scale, block_q, block_k)
+    # Name the kernel outputs so remat policies
+    # (save_only_these_names("flash_out", "flash_lse"), see
+    # models/longnet.py) keep them as residuals: the backward then reuses
+    # them instead of re-running the forward kernel per layer.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return (out, lse), (q, k, v, bias, out, lse)
 
 

@@ -206,12 +206,17 @@ class ModalTuneTrainer:
                     yf, self._lr_head.predict(xf),
                     y_probs=self._lr_head.predict_proba(xf))
                 cm = m.pop("confusion_matrix", None)
+                roc = m.pop("roc_curve", None)
                 out.update({f"{stage}_cls_{k}": v for k, v in m.items()})
+                import json as _json
                 if cm is not None:
-                    import json as _json
                     with open(self.out_dir /
                               f"confusion_{stage}.json", "w") as f:
                         _json.dump(cm, f)
+                if roc:
+                    with open(self.out_dir / f"roc_{stage}.json",
+                              "w") as f:
+                        _json.dump(roc, f)
         if self._cph is not None:
             out[f"{stage}_c_index"] = self._cph.score(x0, t, e)
         return out

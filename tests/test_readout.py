@@ -71,3 +71,23 @@ def test_perform_testing_end_to_end():
     assert res["General"]["c_index"] > 0.6
     for task in res.values():
         assert 0 <= task["c_index"] <= 1
+
+
+def test_roc_curve_points_binary_and_multiclass():
+    from modaltune_tpu.eval.readout import (classification_metrics,
+                                            roc_curve_points)
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 2, 50)
+    p1 = np.clip(y + rng.randn(50) * 0.3, 0, 1)
+    probs = np.stack([1 - p1, p1], axis=1)
+    pts = roc_curve_points(y, probs)
+    assert len(pts["fpr"]) == len(pts["tpr"]) >= 2
+    assert pts["fpr"][0] == 0.0 and pts["fpr"][-1] == 1.0
+    m = classification_metrics(y, (p1 > 0.5).astype(int), y_probs=probs)
+    assert "roc_curve" in m and "confusion_matrix" in m
+
+    y3 = rng.randint(0, 3, 60)
+    probs3 = rng.rand(60, 3)
+    probs3 /= probs3.sum(1, keepdims=True)
+    pts3 = roc_curve_points(y3, probs3)
+    assert set(pts3) == {"class_0", "class_1", "class_2"}
