@@ -32,7 +32,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_TORCH_EST_SLIDES_PER_SEC = 1.0  # documented estimate, see docstring
-BAG = 10240
+BAG = 10239  # bag + cls = 10240: segment-aligned (see data.DEFAULT_BUCKETS)
 WARMUP = 2
 ITERS_A = 4
 ITERS_B = 16

@@ -33,7 +33,12 @@ import numpy as np
 
 from .pathways import GenePacker
 
-DEFAULT_BUCKETS = (1024, 2048, 4096, 8192, 16384, 25600)
+# Bucket sizes are 1024-multiples MINUS ONE so the encoder sequence
+# (bag + cls token) stays a multiple of LongNet's smallest segment
+# length: an unaligned length forces segment padding in every dilated
+# branch, measured at ~9% of the whole train step on v5e
+# (+2.5 ms fwd / +8.5 ms bwd per layer at the 10k bucket).
+DEFAULT_BUCKETS = (1023, 2047, 4095, 8191, 16383, 25599)
 
 
 def choose_bucket(length: int, buckets: Sequence[int]) -> int:

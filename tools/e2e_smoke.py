@@ -19,7 +19,7 @@ ds = SyntheticSlideDataset(n_cases=6, in_chans=cfg.backbone.in_chans,
 model = create_aggregator("longnetvit_gene_adapter", cfg=cfg,
                           n_gene_groups=ds.packer.n_groups,
                           max_group_len=ds.packer.max_group_len)
-loader = BucketedLoader(ds, buckets=(256, 512), batch_size=1, seed=0)
+loader = BucketedLoader(ds, buckets=(255, 511), batch_size=1, seed=0)
 batch = next(iter(loader))
 params = jax.jit(lambda r: model.init(
     r, jnp.asarray(batch.bag), jnp.asarray(batch.coords),

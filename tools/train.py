@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clinical_location", default="", type=str)
     p.add_argument("--pathway_csv", default="", type=str)
     p.add_argument("--threshold", default=25000, type=int)
-    p.add_argument("--buckets", default="4096,8192,16384,25600", type=str)
+    p.add_argument("--buckets", default="4095,8191,16383,25599", type=str)
     # model
     p.add_argument("--mil_name", default="longnetvit_gene_adapter",
                    choices=["longnetvit_gene_adapter",
