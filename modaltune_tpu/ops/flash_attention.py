@@ -63,11 +63,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block(requested: int, length: int) -> int:
-    """Tile sizes for the (1, 1, b) aux blocks must be 128-divisible or
-    cover the whole (padded) axis."""
+    """Pick a kernel block size for an axis of ``length``.
+
+    Tile sizes for the (1, 1, b) aux blocks must be 128-divisible or
+    cover the whole (padded) axis. Among the 128-multiple candidates
+    ≤ ``requested`` (and ≥ 512 to bound grid overhead), prefer the one
+    minimizing the padded length — flash FLOPs scale with
+    ``round_up(L, bq) * round_up(L, bk)``, so e.g. L=1280 with a 1024
+    block pads to 2048 (2.56x the work) while a 640 block is exact.
+    """
     if requested >= length:
         return _round_up(length, 8)
-    return _round_up(requested, 128)
+    best = _round_up(requested, 128)
+    best_pad = _round_up(length, best)
+    for b in range(512, requested + 1, 128):
+        pad = _round_up(length, b)
+        if pad < best_pad or (pad == best_pad and b > best):
+            best, best_pad = b, pad
+    return best
 
 
 # ---------------------------------------------------------------------------
