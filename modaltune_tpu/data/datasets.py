@@ -285,20 +285,36 @@ class SyntheticSlideDataset:
 
 
 class BucketedLoader:
-    """Iterates a dataset as bucket-padded batches with host->device
-    prefetch on a background thread (replaces the torch DataLoader worker
-    pool at ``utils/base_trainer.py:274-295``)."""
+    """Iterates a dataset as bucket-padded batches built on a background
+    thread (replaces the torch DataLoader worker pool at
+    ``utils/base_trainer.py:274-295``).
+
+    With ``device_prefetch=True`` the worker additionally issues an
+    async ``jax.device_put`` of the large arrays (bag/coords/mask/genes,
+    clinical) so the H2D transfer overlaps the previous step's compute;
+    otherwise batches are host numpy and transfer happens when the
+    consumer converts them."""
 
     def __init__(self, dataset, buckets: Sequence[int] = DEFAULT_BUCKETS,
                  batch_size: int = 1, shuffle: bool = True, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, device_prefetch: bool = False):
         self.dataset = dataset
         self.buckets = tuple(sorted(buckets))
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
+        self.device_prefetch = device_prefetch
         self.epoch = 0
+
+    def _to_device(self, batch: Batch) -> Batch:
+        import jax
+        put = jax.device_put
+        return dataclasses.replace(
+            batch, bag=put(batch.bag), coords=put(batch.coords),
+            mask=put(batch.mask), genes=put(batch.genes),
+            clinical=(None if batch.clinical is None
+                      else put(batch.clinical)))
 
     def __len__(self):
         n = len(self.dataset)
@@ -327,6 +343,8 @@ class BucketedLoader:
         def worker():
             try:
                 for b in self._iter_batches():
+                    if self.device_prefetch:
+                        b = self._to_device(b)
                     q.put(b)
             finally:
                 q.put(sentinel)

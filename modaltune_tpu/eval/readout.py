@@ -208,7 +208,12 @@ def classification_metrics(y_true, y_pred,
     from sklearn.metrics import (accuracy_score, balanced_accuracy_score,
                                  confusion_matrix, f1_score,
                                  precision_score, recall_score)
-    avg = "macro" if len(np.unique(y_true)) > 2 else "binary"
+    # "binary" requires labels in {0,1} across BOTH arrays; a predicted
+    # unseen class must flip to macro averaging
+    all_labels = np.unique(np.concatenate([np.asarray(y_true),
+                                           np.asarray(y_pred)]))
+    avg = "macro" if len(all_labels) > 2 or all_labels.max(initial=0) > 1 \
+        else "binary"
     out = dict(
         acc=float(accuracy_score(y_true, y_pred)),
         bal_acc=float(balanced_accuracy_score(y_true, y_pred)),

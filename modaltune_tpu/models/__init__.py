@@ -4,7 +4,8 @@ from .layers import (AlphaDropout, CrossAttentionLayer, DropPath, FFNLayer,
 from .longnet import (DilatedSelfAttention, FeedForwardNetwork,
                       LongNetEncoder, LongNetEncoderLayer)
 from .slide_encoder import LongNetViT, PatchEmbed, coords_pos_embed
-from .gene import GeneMixerEncoder
+from .gene import GeneMixerEncoder, GeneOnlyModel
+from .heads import classifier_logits, survival_from_logits
 from .adapter import Extractor, Injector, InteractionBlock
 from .modaltune import ModalTuneModel
 from .titan import (AttentionalPooler, TitanModalTuneModel, TitanViT,
@@ -16,6 +17,7 @@ __all__ = [
     "SelfAttentionLayer", "TorchMHA", "DilatedSelfAttention",
     "FeedForwardNetwork", "LongNetEncoder", "LongNetEncoderLayer",
     "LongNetViT", "PatchEmbed", "coords_pos_embed", "GeneMixerEncoder",
+    "GeneOnlyModel", "classifier_logits", "survival_from_logits",
     "Extractor", "Injector", "InteractionBlock", "ModalTuneModel",
     "AttentionalPooler", "TitanModalTuneModel", "TitanViT", "alibi_bias",
     "grid_scatter_bag",

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import GeneEncoderConfig
+from .heads import classifier_logits, survival_from_logits
 from .layers import AlphaDropout
+from .registry import register_aggregator
 
 
 def _trunc02():
@@ -143,3 +145,47 @@ class GeneMixerEncoder(nn.Module):
         x = jnp.einsum("bgc,gf->bfc", x, wc.astype(self.dtype)) \
             + bc[None, :, None]
         return x
+
+
+@register_aggregator("gene_mixer_group")
+class GeneOnlyModel(nn.Module):
+    """Genomics-only baseline: Gene-Mixer encoder + output heads.
+
+    Rebuild of the reference's standalone gene model
+    (``gene_encoder.py:97-223`` registered as ``gene_mixer_group``) with
+    its three ``return_logits`` output modes
+    (``aggregators.py:43-58``): ``feature`` returns the gene tokens,
+    ``classifier`` returns class logits over the mean-pooled tokens
+    (``gene_encoder.py:217-221``), and ``survival`` returns
+    ``(hazards, S, y_hat)`` via the cumprod-hazard transform. This is
+    the "Gene Mixer" baseline row in BASELINE.md.
+    """
+
+    cfg: GeneEncoderConfig
+    n_gene_groups: int
+    max_group_len: int
+    n_classes: int = 2
+    mode: str = "classifier"  # feature | classifier | survival
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, genes, deterministic: bool = True):
+        x = GeneMixerEncoder(self.cfg, self.n_gene_groups,
+                             self.max_group_len, dtype=self.dtype,
+                             name="gene_encoder")(genes, deterministic)
+        if self.mode == "feature":
+            return x
+        # mean over gene tokens, fp32 norm + head
+        # (gene_encoder.py:218-219)
+        h = jnp.mean(x.astype(jnp.float32), axis=1)
+        h = nn.LayerNorm(name="final_norm")(h)
+        w = self.param("classifier_kernel", _trunc02(),
+                       (h.shape[-1], self.n_classes))
+        b = self.param("classifier_bias", nn.initializers.zeros,
+                       (self.n_classes,))
+        logits = classifier_logits(h, w, b)
+        if self.mode == "classifier":
+            return logits
+        if self.mode == "survival":
+            return survival_from_logits(logits)
+        raise NotImplementedError(f"mode={self.mode}")

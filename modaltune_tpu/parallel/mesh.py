@@ -139,13 +139,14 @@ def make_spmd_train_step(model, cfg: TrainConfig, mesh: Mesh,
         return new_state, loss
 
     rep = NamedSharding(mesh, P())
+    jitted = jax.jit(step, donate_argnums=())
 
     def wrapped(state, batch, text_targets, rng):
         batch = shard_batch(batch, mesh, with_seq=with_seq)
         state = jax.device_put(state, rep)
         text_targets = jax.device_put(
             text_targets, NamedSharding(mesh, P(DATA_AXIS)))
-        return jax.jit(step, donate_argnums=())(state, batch,
-                                                text_targets, rng)
+        return jitted(state, batch, text_targets, rng)
 
+    wrapped.jitted = jitted  # expose for trace-count assertions
     return wrapped

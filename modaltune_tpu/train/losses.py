@@ -64,6 +64,42 @@ def kd_loss(logits, text_proj, temperature: float = 1.0,
     return jnp.mean(per_slide) * (t ** 2) * scale
 
 
+def cross_entropy_loss(logits, labels):
+    """Mean softmax cross-entropy — the supervised objective for the
+    genomics-only classifier baseline (``return_logits`` "classifier"
+    mode, ``aggregators.py:43-58``; the reference trains those baselines
+    outside the repo, so the loss choice is the standard one)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                 axis=-1)[:, 0]
+    return -jnp.mean(picked)
+
+
+def survival_nll_loss(hazards, s, y_bins, events, alpha: float = 0.4,
+                      eps: float = 1e-7):
+    """Discrete-time survival NLL for the cumprod-hazard head.
+
+    Matches the transform the reference's "survival" mode emits
+    (``hazards = sigmoid(logits); S = cumprod(1-hazards)``,
+    ``aggregators.py:52-57``): the standard censored NLL over
+    discretized duration bins (Zadeh & Schmid 2020, as used by
+    CLAM/PORPOISE-style pipelines). ``events==1`` means the event was
+    observed (uncensored).
+    """
+    y = y_bins[:, None].astype(jnp.int32)
+    c = 1.0 - events.astype(jnp.float32)  # censorship indicator
+    s_pad = jnp.concatenate(
+        [jnp.ones((s.shape[0], 1), s.dtype), s], axis=1)
+    s_prev = jnp.take_along_axis(s_pad, y, axis=1)[:, 0]
+    s_cur = jnp.take_along_axis(s_pad, y + 1, axis=1)[:, 0]
+    h_cur = jnp.take_along_axis(hazards, y, axis=1)[:, 0]
+    uncensored = -(1.0 - c) * (jnp.log(jnp.maximum(s_prev, eps)) +
+                               jnp.log(jnp.maximum(h_cur, eps)))
+    censored = -c * jnp.log(jnp.maximum(s_cur, eps))
+    neg_l = censored + uncensored
+    return jnp.mean((1.0 - alpha) * neg_l + alpha * uncensored)
+
+
 def project_text(projector: TextProjector, proj_params, text):
     """(B, 4, 512) raw CONCH embeddings -> (B, 3, out_dim) normalized
     targets for tasks [general, diagnosis, survival]."""

@@ -87,7 +87,10 @@ class ModalTuneTrainer:
 
         self.train_loader = BucketedLoader(
             datasets["train"], buckets=self.buckets,
-            batch_size=batch_size, shuffle=True, seed=cfg.seed)
+            batch_size=batch_size, shuffle=True, seed=cfg.seed,
+            # async H2D overlap; under a mesh the sharded step owns
+            # placement, so leave batches on host there
+            device_prefetch=(mesh is None))
         self.eval_loaders = {
             k: BucketedLoader(datasets[k], buckets=self.buckets,
                               batch_size=batch_size, shuffle=False,

@@ -1,8 +1,14 @@
-"""K-fold split helpers: partition coverage, disjointness, subset view."""
+"""K-fold split helpers: partition coverage, disjointness, subset view —
+plus a real fold-loop lifecycle run (``base_trainer.py:545-571``)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from modaltune_tpu.configs import TrainConfig, tiny_test_config
 from modaltune_tpu.data import SyntheticSlideDataset, kfold_splits
+from modaltune_tpu.models import ModalTuneModel
+from modaltune_tpu.train.trainer import ModalTuneTrainer, run_kfold
 
 
 def test_kfold_partition():
@@ -26,3 +32,37 @@ def test_subset_view_semantics():
     assert ex.case_id == va.case_ids[0]
     assert len(va.metadata()) == len(va)
     assert va.metadata()[0]["case_id"] == va.case_ids[0]
+
+
+def test_kfold_lifecycle(tmp_path):
+    """run_kfold actually trains each fold: per-fold run dirs with
+    metrics + best weights, and a finite metric per fold."""
+    cfg = tiny_test_config()
+    packer = SyntheticSlideDataset(n_cases=1).packer
+    ds = SyntheticSlideDataset(n_cases=8, in_chans=cfg.backbone.in_chans,
+                               bag_range=(40, 80), packer=packer, seed=0)
+    folds = kfold_splits(ds, n_folds=2, seed=0)
+    model = ModalTuneModel(cfg, n_gene_groups=packer.n_groups,
+                           max_group_len=packer.max_group_len)
+    ex = ds.get(0, np.random.RandomState(0))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(ex.bag[None, :40]),
+                        jnp.asarray(ex.coords[None, :40]),
+                        jnp.asarray(ex.genes[None]),
+                        task_token=jnp.eye(3)[:1])["params"]
+    tcfg = TrainConfig(lr=1e-3, num_epochs=1, warmup_epochs=1, seed=0)
+
+    def make_trainer(fold):
+        tr, va = folds[fold]
+        return ModalTuneTrainer(model, tcfg,
+                                {"train": tr, "val": va},
+                                str(tmp_path / f"fold_{fold}"),
+                                buckets=(96,), model_cfg=cfg)
+
+    metrics = run_kfold(make_trainer, lambda fold: params, n_folds=2)
+    assert len(metrics) == 2
+    for k, m in enumerate(metrics):
+        assert np.isfinite(m)
+        fold_dir = tmp_path / f"fold_{k}"
+        assert (fold_dir / "run_metrics.jsonl").exists()
+        assert (fold_dir / "best_model_weights.npz").exists()

@@ -91,3 +91,5 @@ def test_spmd_seq_parallel_runs():
     state, loss2 = step(state, inputs, text, jax.random.PRNGKey(4))
     assert np.isfinite(float(loss2))
     assert float(loss2) < float(loss)
+    # exactly ONE trace across repeated steps (no per-call re-jit)
+    assert step.jitted._cache_size() == 1

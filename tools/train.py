@@ -65,9 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["longnetvit_gene_adapter",
                             "longnetvit_gene_clinical_adapter",
                             "titan_gene_adapter",
-                            "titan_gene_clinical_adapter"])
+                            "titan_gene_clinical_adapter",
+                            "gene_mixer_group"])
     p.add_argument("--num_tasks", default=3, type=int)
-    p.add_argument("--num_classes", default=2, type=int)
+    p.add_argument("--num_classes", default=2, type=int,
+                   help="classifier/survival head width for the "
+                        "genomics-only baseline (gene_mixer_group)")
+    p.add_argument("--mode", default="classifier",
+                   choices=["classifier", "survival"],
+                   help="output head for gene_mixer_group (the adapter "
+                        "models always run in 'feature' mode, like "
+                        "train_modaltune.py:80)")
     p.add_argument("--backbone_weights", default="", type=str,
                    help="converted backbone .npz (tools/convert_gigapath)")
     p.add_argument("--pancancer", default=0, type=int)
@@ -129,6 +137,37 @@ def load_synthetic_datasets(args):
     return datasets, packer
 
 
+def run_gene_baseline(args, datasets, packer):
+    """Genomics-only baseline: gene_mixer_group with classifier /
+    survival heads (BASELINE.md's Gene-Mixer rows)."""
+    import jax
+    import jax.numpy as jnp
+    from modaltune_tpu.configs import GeneEncoderConfig, TrainConfig
+    from modaltune_tpu.models import create_aggregator
+    from modaltune_tpu.train.gene_trainer import GeneBaselineTrainer
+
+    model = create_aggregator(
+        "gene_mixer_group", cfg=GeneEncoderConfig(),
+        n_gene_groups=packer.n_groups,
+        max_group_len=packer.max_group_len,
+        n_classes=args.num_classes, mode=args.mode)
+    tcfg = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
+                       beta1=args.beta1, beta2=args.beta2,
+                       num_epochs=args.num_epochs, seed=args.seed,
+                       eval_interval=args.eval_interval)
+    out_dir = Path(args.output_path) / f"seed_{args.seed}"
+    trainer = GeneBaselineTrainer(model, tcfg, datasets, str(out_dir),
+                                  batch_size=max(args.batch_size, 8))
+    rng = np.random.RandomState(0)
+    ex = datasets["train"].get(0, rng)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.asarray(ex.genes[None]))["params"])(
+        jax.random.PRNGKey(args.seed))
+    best = trainer.run(params)
+    print(f"seed {args.seed}: best val metric = {best:.4f}")
+    return best
+
+
 def run_one_seed(args):
     import jax
     import jax.numpy as jnp
@@ -143,6 +182,9 @@ def run_one_seed(args):
         datasets, packer = load_synthetic_datasets(args)
     else:
         datasets, packer = load_real_datasets(args)
+
+    if args.mil_name == "gene_mixer_group":
+        return run_gene_baseline(args, datasets, packer)
 
     if args.mil_name.startswith("titan"):
         # TITAN consumes grid-scattered cells, not raw patch bags
