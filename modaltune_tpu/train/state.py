@@ -79,6 +79,10 @@ class TrainState(struct.PyTreeNode):
     @classmethod
     def create(cls, params: dict, tx: optax.GradientTransformation,
                frozen_dtype=None) -> "TrainState":
+        # Copy the incoming pytree: the jitted train step donates the
+        # state's buffers, which would otherwise delete the caller's
+        # params (e.g. shared init params across k-fold runs).
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         frozen, trainable = split_params(params)
         if frozen_dtype is not None:
             frozen = jax.tree.map(
