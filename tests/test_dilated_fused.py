@@ -1,0 +1,115 @@
+"""Fused dilated attention vs the XLA oracle (ops/dilated.py).
+
+The fused Pallas path must match ``dilated_attention`` (the re-derived
+reference semantics, itself tested against a brute-force oracle in
+test_dilated.py) in both forward values and gradients. On CPU the
+kernels run in interpret mode; with MODALTUNE_TEST_BACKEND=tpu they run
+compiled on the chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modaltune_tpu.ops.dilated import dilated_attention
+from modaltune_tpu.ops.dilated_fused import (fused_dilated_attention,
+                                             fused_eligible, make_plans)
+
+INTERPRET = jax.default_backend() != "tpu"
+TOL = 2e-5 if INTERPRET else 5e-3
+
+# Covers all three layout modes: slc (64,1), comb multi-chunk (128,2),
+# comb single-chunk clamped (512->256, 4), gather (96,2).
+S, H, D = 256, 4, 32
+SEGS = (64, 128, 512, 96)
+RATIOS = (1, 2, 4, 2)
+
+
+def _inputs(seed=0, masked=True, B=2):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    if masked:
+        lens = rng.randint(S // 2, S + 1, size=B)
+        mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    else:
+        mask = None
+    return q, k, v, mask
+
+
+def test_eligibility():
+    assert fused_eligible(S, H, D, SEGS, RATIOS)
+    R, plans = make_plans(S, SEGS, RATIOS)
+    assert [p.mode for p in plans] == ["slc", "comb", "comb", "gather"]
+    # flagship geometry (bucket 10240, GigaPath schedule)
+    assert fused_eligible(10240, 16, 48,
+                          (1024, 5792, 32768, 185363, 1048576),
+                          (1, 2, 4, 8, 16))
+    # ineligible: no r=1 branch
+    assert not fused_eligible(S, H, D, (128,), (2,))
+    # ineligible: heads not divisible by ratio
+    assert not fused_eligible(S, 3, D, SEGS, RATIOS)
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_forward_matches_oracle(masked):
+    q, k, v, mask = _inputs(0, masked)
+    want = dilated_attention(q, k, v, segment_lengths=SEGS,
+                             dilated_ratios=RATIOS, mask=mask,
+                             use_pallas=False)
+    got = fused_dilated_attention(q, k, v, segment_lengths=SEGS,
+                                  dilated_ratios=RATIOS, mask=mask,
+                                  interpret=INTERPRET)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    if masked:
+        m = np.asarray(mask)[:, :, None, None]
+        w, g = w * m, g * m
+    np.testing.assert_allclose(g, w, atol=TOL, rtol=TOL)
+
+
+def test_grads_match_oracle():
+    q, k, v, mask = _inputs(1, True)
+    key = jax.random.PRNGKey(3)
+    cot = jax.random.normal(key, q.shape, q.dtype) * \
+        mask[:, :, None, None]
+
+    def loss(fn, *args):
+        out = fn(*args)
+        return jnp.sum(out * cot)
+
+    f_ref = lambda q, k, v: dilated_attention(
+        q, k, v, segment_lengths=SEGS, dilated_ratios=RATIOS,
+        mask=mask, use_pallas=False)
+    f_fused = lambda q, k, v: fused_dilated_attention(
+        q, k, v, segment_lengths=SEGS, dilated_ratios=RATIOS,
+        mask=mask, interpret=INTERPRET)
+
+    gw = jax.grad(lambda a, b, c: loss(f_ref, a, b, c),
+                  argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(lambda a, b, c: loss(f_fused, a, b, c),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, w, g in zip("qkv", gw, gg):
+        w = np.asarray(w) * np.asarray(mask)[:, :, None, None]
+        g = np.asarray(g) * np.asarray(mask)[:, :, None, None]
+        np.testing.assert_allclose(
+            g, w, atol=TOL * 10, rtol=TOL * 10,
+            err_msg=f"d{name} mismatch")
+
+
+def test_bf16_forward():
+    q, k, v, mask = _inputs(2, True)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    want = dilated_attention(q, k, v, segment_lengths=SEGS,
+                             dilated_ratios=RATIOS, mask=mask,
+                             use_pallas=False)
+    got = fused_dilated_attention(q, k, v, segment_lengths=SEGS,
+                                  dilated_ratios=RATIOS, mask=mask,
+                                  interpret=INTERPRET)
+    assert got.dtype == jnp.bfloat16
+    m = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32) * m,
+        np.asarray(want, np.float32) * m, atol=0.05, rtol=0.05)
