@@ -72,6 +72,10 @@ class LongNetConfig:
     # backward pass never re-runs the forward kernels (~30% step time at
     # ~30MB/layer for a 10k-token bag); "full" recomputes everything.
     remat_policy: str = "flash"
+    # fused dilated attention (single-pass Pallas kernels per branch +
+    # LSE-mix kernel, ops/dilated_fused.py); used when the shapes are
+    # eligible and the backend is TPU, else falls back to ops/dilated.py
+    fused_attention: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "segment_lengths", tuple(self.segment_lengths))

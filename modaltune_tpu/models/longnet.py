@@ -24,6 +24,7 @@ Design deltas vs the reference (intentional):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -35,6 +36,8 @@ from ..configs import LongNetConfig
 # strided-scatter backward loses more than that; the reference-layout
 # implementation is net faster for training on current XLA/Mosaic.
 from ..ops import dilated_attention
+from ..ops.dilated_fused import fused_dilated_attention, fused_eligible
+from ..ops.flash_attention import get_flash_mode
 
 
 class DilatedSelfAttention(nn.Module):
@@ -55,7 +58,14 @@ class DilatedSelfAttention(nn.Module):
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
         b, l = x.shape[0], x.shape[1]
         split = lambda t: t.reshape(b, l, c.num_heads, c.head_dim)
-        out = dilated_attention(
+        use_fused = (c.fused_attention and get_flash_mode() != "xla"
+                     and jax.default_backend() == "tpu"
+                     and fused_eligible(l, c.num_heads, c.head_dim,
+                                        c.segment_lengths,
+                                        c.dilated_ratios))
+        attn = fused_dilated_attention if use_fused else \
+            functools.partial(dilated_attention, use_pallas=None)
+        out = attn(
             split(q), split(k), split(v),
             segment_lengths=c.segment_lengths,
             dilated_ratios=c.dilated_ratios,
@@ -154,7 +164,8 @@ def remat_policy(name: str):
         return None
     if name == "flash":
         return jax.checkpoint_policies.save_only_these_names(
-            "flash_out", "flash_lse")
+            "flash_out", "flash_lse", "dilated_out", "dilated_lse",
+            "dilated_stats")
     raise ValueError(f"unknown remat policy {name!r}")
 
 

@@ -5,13 +5,14 @@ Round-2 replacement for the XLA layout pipeline in ops/dilated.py
 (segment ``w``, dilation ``r``) branch as gather -> flash -> scatter ->
 LSE mix (``torchscale/component/dilated_attention.py:82-144``); the
 round-1 rebuild did the same with XLA reshapes, which measured as >=55%
-of attention time. Here no per-branch *dense* layout is materialized:
+of attention time. Here no per-branch *dense scatter* or gather is ever
+materialized -- the only XLA-level ops are cheap transposes:
 
 * tokens are reordered ONCE per call into a "comb" layout -- position
   ``p`` goes to row ``(p % R) * (S/R) + p // R``, ``R = max(ratios)`` --
-  after which each r>1 branch's (head-group ``g``, segment ``n``) sparse
-  q/k/v rows are ``R/r`` contiguous equally-sized slabs addressable
-  purely through BlockSpec index maps (no gathers, no dynamic slicing);
+  after which each aligned r>1 branch's (head-group ``g``, segment
+  ``n``) sparse q/k/v rows are ``R/r`` contiguous equally-sized slabs
+  addressable purely through BlockSpec index maps;
 * one Pallas kernel per branch assembles the sparse segment in VMEM and
   runs one-shot softmax attention per q sub-block (the full key set
   stays VMEM-resident; segments are ~0.6-6k rows), emitting a compact
@@ -34,10 +35,12 @@ Per-branch layout modes (``_BranchPlan.mode``):
             mix-addressable by pure index maps.
   'comb'    r > 1 and S % w == 0: global comb_R; R/r chunk slabs are
             assembled into VMEM scratch over an inner grid dimension.
-  'gather'  otherwise (e.g. w=5792 when S is a multiple of 1024 only):
-            the branch runs in its own comb_r layout (one XLA transpose)
-            and its compact outputs are expanded to dense comb_R rows by
-            XLA row gathers driven by static per-head index tables.
+  'crd'     otherwise (e.g. w=5792 when S is a multiple of 1024 only):
+            the branch reads AND writes in its own comb_r-dense layout
+            (one XLA transpose per tensor each way); only each head's
+            own group-g rows are real, so the mix/combine kernels mask
+            this branch's dense rows with the covered predicate
+            ``j % r == g``.
 
 Anything failing :func:`fused_eligible` falls back to the XLA path
 (ops.dilated.dilated_attention) at the call site.
@@ -62,7 +65,13 @@ except ImportError:  # pragma: no cover
     pl = None
     pltpu = None
 
-_SCORE_BUDGET = 3 * 512 * 1024  # fp32 bytes for one (bq, wr) score tile
+# fp32 bytes for one (bq, wr) score tile; the backward holds ~2.5x more
+# live score-sized temporaries than the forward, so it gets a smaller
+# budget. The VMEM ceiling is raised via CompilerParams (v5e has far
+# more physical VMEM than the 16MB default scoped budget).
+_FWD_SCORE_BUDGET = 6 * 1024 * 1024
+_BWD_SCORE_BUDGET = 3 * 1024 * 1024
+_MAX_BQ = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -74,6 +83,20 @@ def _divisors(n: int) -> List[int]:
     return sorted(set(out + [n // d for d in out]))
 
 
+def _pick_bq_divisor(wr: int, budget: int) -> int:
+    cands = [d for d in _divisors(wr) if d % 8 == 0 and d <= _MAX_BQ
+             and d * wr * 4 <= budget]
+    return max(cands) if cands else -1
+
+
+def _pick_bq_tail(wr: int, budget: int) -> int:
+    """Any multiple-of-8 bq; the q loop handles a short tail block."""
+    bq = _MAX_BQ
+    while bq > 8 and bq * wr * 4 > budget:
+        bq //= 2
+    return min(bq, _round_up(wr, 8))
+
+
 # ---------------------------------------------------------------------------
 # Branch plans
 # ---------------------------------------------------------------------------
@@ -82,9 +105,10 @@ def _divisors(n: int) -> List[int]:
 class _BranchPlan:
     """Static geometry of one (segment w, ratio r) branch.
 
-    Compact per-branch arrays have ``nseg * wr_p`` rows; for mix/combine
-    the slc/comb ones are viewed 5-D as ``(BH, nseg, A, cr2, last)``
-    with ``A * cr2 == wr_p``.
+    Compact per-branch arrays have ``nseg * wr`` rows ('slc'/'comb'; for
+    mix/combine they are viewed 5-D as ``(BH, nseg, A, cr2, last)`` with
+    ``A * cr2 == wr``) or ``lp`` rows ('crd': comb_r-dense, where only
+    each head's own group-g rows hold real data).
     """
 
     def __init__(self, w: int, r: int, S: int, R: int):
@@ -92,7 +116,7 @@ class _BranchPlan:
         self.r = r
         self.R = R
         self.nseg = -(-S // w)
-        self.lp = self.nseg * w         # padded length ('gather' mode)
+        self.lp = self.nseg * w         # padded length ('crd' mode)
         self.wr = w // r                # sparse rows per segment
         if r == 1:
             self.mode = "slc"
@@ -103,36 +127,24 @@ class _BranchPlan:
             self.nch = R // r
             self.A, self.cr2 = self.nch, w // R
         else:
-            self.mode = "gather"
+            self.mode = "crd"
             self.nch = 1
-            self.A, self.cr2 = 1, -1    # no 5-D view (dense-expanded)
-        # q sub-block rows
-        if self.mode == "gather":
-            bq = 512
-            while bq > 128 and bq * 4 * _round_up(self.wr, bq) > \
-                    _SCORE_BUDGET:
-                bq //= 2
-            self.bq = bq
-            self.wr_p = _round_up(self.wr, bq)
+            self.A, self.cr2 = 1, -1    # no 5-D view (dense comb_r)
+        # q sub-block rows (fwd / bwd); 'crd' q loops handle a tail
+        if self.mode == "crd":
+            self.bq = _pick_bq_tail(self.wr, _FWD_SCORE_BUDGET)
+            self.bqb = _pick_bq_tail(self.wr, _BWD_SCORE_BUDGET)
         else:
-            cands = [d for d in _divisors(self.wr) if d % 8 == 0
-                     and d * self.wr * 4 <= _SCORE_BUDGET]
-            self.bq = max(cands) if cands else -1
-            self.wr_p = self.wr
-        self.nqb = self.wr_p // self.bq if self.bq > 0 else 0
-        # the backward holds ~2.5x more live (bq, wr) fp32 temporaries
-        # than the forward; run it at half the q-block size
-        self.bqb = self.bq // 2 if self.bq >= 128 and self.bq % 16 == 0 \
-            else self.bq
-        self.nqbb = self.wr_p // self.bqb if self.bqb > 0 else 0
-        self.out_rows = self.nseg * self.wr_p
-        # head-group count of the bias table
+            self.bq = _pick_bq_divisor(self.wr, _FWD_SCORE_BUDGET)
+            self.bqb = _pick_bq_divisor(self.wr, _BWD_SCORE_BUDGET)
+        self.out_rows = self.lp if self.mode == "crd" \
+            else self.nseg * self.wr
         self.G = 1 if self.mode == "slc" else r
 
     def __repr__(self):
         return (f"BranchPlan(w={self.w} r={self.r} mode={self.mode} "
-                f"nseg={self.nseg} wr={self.wr} wr_p={self.wr_p} "
-                f"bq={self.bq} nch={self.nch})")
+                f"nseg={self.nseg} wr={self.wr} bq={self.bq} "
+                f"bqb={self.bqb} nch={self.nch})")
 
 
 def make_plans(S: int, segment_lengths: Sequence[int],
@@ -162,7 +174,7 @@ def fused_eligible(S: int, H: int, D: int,
     for p in plans:
         if H % p.r or R % p.r:
             return False
-        if p.bq <= 0 or p.wr % 8 or p.wr > 8192:
+        if p.bq <= 0 or p.bqb <= 0 or p.wr % 8 or p.wr > 8192:
             return False
         if p.mode == "slc":
             if S % p.w or p.w % R or p.cr2 <= 0 or p.cr2 % 8:
@@ -174,8 +186,8 @@ def fused_eligible(S: int, H: int, D: int,
                 return False
             if MB % p.cr2 and p.cr2 % MB:
                 return False
-        else:                          # gather
-            if p.w % p.r:
+        else:                          # crd
+            if p.w % p.r or (p.wr % p.bq) % 8 or (p.wr % p.bqb) % 8:
                 return False
     return True
 
@@ -235,8 +247,17 @@ def comb_r(x: jax.Array, r: int, lp: int) -> jax.Array:
     return jnp.moveaxis(x, 2, 1).reshape((bh, lp) + t)
 
 
+def uncomb_r(x: jax.Array, r: int, S: int) -> jax.Array:
+    """(BH, lp, ...) comb_r order -> natural, sliced back to S."""
+    bh, lp = x.shape[:2]
+    t = x.shape[2:]
+    x = x.reshape((bh, r, lp // r) + t)
+    x = jnp.moveaxis(x, 1, 2).reshape((bh, lp) + t)
+    return x[:, :S]
+
+
 # ---------------------------------------------------------------------------
-# Static index tables (numpy)
+# Static tables, bias, index maps
 # ---------------------------------------------------------------------------
 
 
@@ -250,9 +271,13 @@ def comb_perm(S: int, R: int) -> np.ndarray:
 
 
 def _position_table(plan: _BranchPlan, S: int) -> np.ndarray:
-    """pos[g, n, row] = token position of compact row (-1 = padding)."""
+    """pos[g, n, row] = token position of a compact row (-1 = padding).
+
+    For 'crd' the (g, n, row) index addresses comb_r-dense rows
+    ``g*(lp/r) + n*wr + row``.
+    """
     w, r, R = plan.w, plan.r, plan.R
-    pos = np.full((plan.G, plan.nseg, plan.wr_p), -1, np.int64)
+    pos = np.full((plan.G, plan.nseg, plan.wr), -1, np.int64)
     x = np.arange(plan.wr)
     for g in range(plan.G):
         for n in range(plan.nseg):
@@ -264,47 +289,15 @@ def _position_table(plan: _BranchPlan, S: int) -> np.ndarray:
                 j = g + (x // plan.cr2) * r
                 u = n * plan.cr2 + (x % plan.cr2)
                 p = R * u + j
-            else:                      # gather (comb_r order)
+            else:                      # crd (comb_r order)
                 p = n * w + x * r + g
-            pos[g, n, :plan.wr] = np.where(p < S, p, -1)
+            pos[g, n] = np.where(p < S, p, -1)
     return pos
-
-
-def _gather_tables(plan: _BranchPlan, S: int, R: int, H: int
-                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """'gather'-mode per-head tables over dense comb_R rows.
-
-    idx[h, rho] = compact row of the position at dense comb row rho
-    (0 when uncovered); cov[h, rho] = covered; inv[h, row] = dense comb
-    row that feeds compact row (0 for never-read padding rows).
-    """
-    perm = comb_perm(S, R)
-    w, r = plan.w, plan.r
-    hg = H // r
-    idx = np.zeros((H, S), np.int32)
-    cov = np.zeros((H, S), bool)
-    inv = np.zeros((H, plan.out_rows), np.int32)
-    p = perm
-    i = p % w
-    n = p // w
-    for h in range(H):
-        g = h // hg
-        c = (i % r) == g
-        rows = n * plan.wr_p + (i - g) // r
-        idx[h] = np.where(c, rows, 0).astype(np.int32)
-        cov[h] = c
-        inv[h, rows[c]] = np.nonzero(c)[0].astype(np.int32)
-    return idx, cov, inv
-
-
-# ---------------------------------------------------------------------------
-# Bias arrays and index maps
-# ---------------------------------------------------------------------------
 
 
 def _branch_bias(vmask: Optional[jax.Array], B: int,
                  plan: _BranchPlan, pos_table: np.ndarray) -> jax.Array:
-    """(B, G, nseg, 1, wr_p) fp32 additive bias (NEG_INF masks a row\n    as key)."""
+    """(B, G, nseg, 1, wr) fp32 additive bias (NEG_INF masks a row)."""
     pos = jnp.asarray(pos_table.reshape(-1), jnp.int32)
     valid = pos >= 0
     if vmask is None:
@@ -314,15 +307,15 @@ def _branch_bias(vmask: Optional[jax.Array], B: int,
         got = jnp.take(vmask > 0.5, jnp.clip(pos, 0), axis=1)
         bias = jnp.where(valid[None] & got, 0.0, NEG_INF
                          ).astype(jnp.float32)
-    return bias.reshape(B, plan.G, plan.nseg, 1, plan.wr_p)
+    return bias.reshape(B, plan.G, plan.nseg, 1, plan.wr)
 
 
 def _chunk_map(plan: _BranchPlan, S: int, H: int):
-    """Branch-kernel q/k/v/dmix chunk-block index map.
+    """Branch-kernel chunk-block index map for q/k/v/dmix/stats.
 
     Arrays: 'slc' slc-layout (BH, S, *) blocks (1, w, *); 'comb' comb_R
-    (BH, S, *) blocks (1, cr2, *); 'gather' comb_r (BH, lp, *) blocks
-    (1, wr, *).
+    (BH, S, *) blocks (1, cr2, *); 'crd' comb_r-dense (BH, lp, *)
+    blocks (1, wr, *).
     """
     r, w, R = plan.r, plan.w, plan.R
     if plan.mode == "slc":
@@ -345,16 +338,15 @@ def _bias_map(plan: _BranchPlan, H: int):
 
 
 def _seg_map(plan: _BranchPlan):
-    """(bh, n)-addressed compact blocks (out/lse/own-arrays)."""
+    """(bh, n)-addressed compact blocks (out/lse for slc/comb)."""
     return lambda bh, n, c: (bh, n, 0)
 
 
-def _mix_spec(plan: _BranchPlan, S: int, H: int, MB: int, last: int,
-              dtype):
-    """(view_shape, BlockSpec) for reading a compact slc/comb branch
-    array inside mix/combine at dense comb rows [j*(S/R) + t*MB, +MB).
-    The compact array is reshaped to (BH, nseg, A, cr2, last)."""
-    r, w, R, cr2, A = plan.r, plan.w, plan.R, plan.cr2, plan.A
+def _mix_spec(plan: _BranchPlan, S: int, H: int, MB: int, last: int):
+    """(block_shape, index_map) for reading a compact slc/comb branch
+    array -- reshaped to (BH, nseg, A, cr2, last) -- inside mix/combine
+    at dense comb rows [j*(S/R) + t*MB, +MB)."""
+    r, cr2, A = plan.r, plan.cr2, plan.A
     hg = H // r
 
     def a_of(bh, j):
@@ -380,19 +372,20 @@ def _mix_spec(plan: _BranchPlan, S: int, H: int, MB: int, last: int,
 
 def _covered_fn(plan: _BranchPlan, H: int):
     """Traced (bh, j) -> bool: does this branch cover comb block j for
-    the head of bh? ('slc' and 'gather'-dense are always True.)"""
-    if plan.mode != "comb":
+    the head of bh? ('slc' covers everything; 'comb' and 'crd' cover
+    the head group's own residue class only.)"""
+    if plan.mode == "slc":
         return lambda bh, j: True
     r = plan.r
     hg = H // r
-    return lambda bh, j: (j % r) == ((bh % H) // hg) % r
+    return lambda bh, j: (j % r) == (bh % H) // hg
 
 
 def _kernel_params():
     # default scoped-vmem budget is 16MB; v5e has far more physical
-    # VMEM and the big-segment branches need ~20MB of stack
+    # VMEM and the big-segment branches need ~20-50MB of stack
     try:
-        return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     except Exception:  # pragma: no cover - older pallas versions
         return None
 
@@ -402,52 +395,48 @@ def _kernel_params():
 # ---------------------------------------------------------------------------
 
 
-def _attend_loop(plan, qrow, k, v, bias_row, scale, o_ref, l_ref,
-                 qvalid=None):
-    """One-shot softmax attention per q sub-block; k/v fully resident.
+def _attend_block(qi, k, v, bias_row, scale, lse_valid=None):
+    """One-shot masked softmax attention for one q sub-block.
 
-    ``qvalid(i) -> (bq, 1) bool`` marks which query rows of sub-block i
-    correspond to real token positions; invalid rows get lse=NEG_INF so
-    neither the mix nor the backward demix ever weights them ('gather'
-    mode pads the last partial segment with rows whose position >= S).
-    """
-    bq, nqb = plan.bq, plan.nqb
+    VPU-lean formulation: ``qi`` is pre-scaled by the caller so the
+    score chain is dot -> +bias -> max -> exp -> sum (no `where` over
+    the score tile). Masked keys carry bias NEG_INF, and clamping the
+    row max to ``_MASK_THRESHOLD`` makes ``exp(s - m)`` underflow to an
+    exact 0 for them (including all-masked rows, where l becomes 0).
 
-    def body(i, _):
-        qi = qrow(i)
-        s = jax.lax.dot_general(qi, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(bias_row > _MASK_THRESHOLD, s * scale, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.where(s > _MASK_THRESHOLD, jnp.exp(s - m), 0.0)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        lsafe = jnp.where(l > 0, l, 1.0)
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o = o / lsafe
-        lse = jnp.where(l > 0, m + jnp.log(lsafe), NEG_INF)
-        if qvalid is not None:
-            lse = jnp.where(qvalid(i), lse, NEG_INF)
-        o_ref[0, pl.ds(i * bq, bq), :] = o.astype(o_ref.dtype)
-        l_ref[0, pl.ds(i * bq, bq), :] = lse
-        return 0
-
-    jax.lax.fori_loop(0, nqb, body, 0)
+    Returns (out fp32 (bq, D), lse fp32 (bq, 1))."""
+    s = jax.lax.dot_general(qi, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_row
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True),
+                    _MASK_THRESHOLD)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lsafe = jnp.where(l > 0, l, 1.0)
+    o = jax.lax.dot_general(p.astype(v.dtype), v,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o / lsafe
+    lse = jnp.where(l > 0, m + jnp.log(lsafe), NEG_INF)
+    if lse_valid is not None:
+        lse = jnp.where(lse_valid, lse, NEG_INF)
+    return o, lse
 
 
 def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
                      H: int, scale: float, interpret: bool):
-    """-> compact out (BH, out_rows, D) q.dtype, lse (BH, out_rows, 1)."""
+    """-> (out, lse): compact (BH, nseg*wr, ...) for 'slc'/'comb', or
+    comb_r-dense (BH, lp, ...) for 'crd' (uncovered rows garbage)."""
     BH, _, D = q_l.shape
-    wr, wr_p, nch = plan.wr, plan.wr_p, plan.nch
+    wr, nch, bq = plan.wr, plan.nch, plan.bq
     cr = plan.w if plan.mode == "slc" else \
         plan.cr2 if plan.mode == "comb" else wr
     need_scr = plan.mode == "comb"
-    pad_q = wr_p != wr
+    crd = plan.mode == "crd"
     cmap = _chunk_map(plan, S, H)
     bmap = _bias_map(plan, H)
-    smap = _seg_map(plan)
+    omap = cmap if crd else _seg_map(plan)
+    nfull, tail = wr // bq, wr % bq
 
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, l_ref, *scr):
         c = pl.program_id(2)
@@ -464,40 +453,44 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
             if need_scr:
                 k, v = ks[...], vs[...]
 
-                def qrow(i):
-                    return qs[pl.ds(i * plan.bq, plan.bq), :]
+                def qrow(i0, rows):
+                    return qs[pl.ds(i0, rows), :]
             else:
                 k, v = k_ref[0], v_ref[0]
-                if pad_q:
-                    (qpad,) = scr
-                    qpad[0:wr, :] = q_ref[0]
-                    if wr_p > wr:
-                        qpad[wr:wr_p, :] = jnp.zeros((wr_p - wr, D),
-                                                     qpad.dtype)
 
-                    def qrow(i):
-                        return qpad[pl.ds(i * plan.bq, plan.bq), :]
-                else:
-                    def qrow(i):
-                        return q_ref[0, pl.ds(i * plan.bq, plan.bq), :]
-            bias_row = b_ref[0, 0, 0][:, :k.shape[0]]
-            qvalid = None
-            if plan.mode == "gather":
+                def qrow(i0, rows):
+                    return q_ref[0, pl.ds(i0, rows), :]
+            bias_row = b_ref[0, 0, 0]
+            if crd:
                 g = (bh_id % H) // (H // plan.r)
 
-                def qvalid(i):
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (plan.bq, 1), 0) + i * plan.bq
-                    pos = seg_n * plan.w + rows * plan.r + g
-                    return (rows < wr) & (pos < S)
-            _attend_loop(plan, qrow, k, v, bias_row, scale, o_ref,
-                         l_ref, qvalid)
+                def lval(i0, rows):
+                    rr = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, 1), 0) + i0
+                    return seg_n * plan.w + rr * plan.r + g < S
+            else:
+                def lval(i0, rows):
+                    return None
+
+            def step(i0, rows):
+                qi = qrow(i0, rows).astype(jnp.float32) * scale
+                qi = qi.astype(k.dtype)
+                o, lse = _attend_block(qi, k, v, bias_row,
+                                       scale, lval(i0, rows))
+                o_ref[0, pl.ds(i0, rows), :] = o.astype(o_ref.dtype)
+                l_ref[0, pl.ds(i0, rows), :] = lse
+
+            def body(i, _):
+                step(i * bq, bq)
+                return 0
+
+            jax.lax.fori_loop(0, nfull, body, 0)
+            if tail:
+                step(nfull * bq, tail)
 
     scratch = []
     if need_scr:
         scratch = [pltpu.VMEM((wr, D), q_l.dtype) for _ in range(3)]
-    elif pad_q:
-        scratch = [pltpu.VMEM((wr_p, D), q_l.dtype)]
 
     out, lse = pl.pallas_call(
         kernel,
@@ -506,11 +499,11 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
             pl.BlockSpec((1, cr, D), cmap),
             pl.BlockSpec((1, cr, D), cmap),
             pl.BlockSpec((1, cr, D), cmap),
-            pl.BlockSpec((1, 1, 1, 1, wr_p), bmap),
+            pl.BlockSpec((1, 1, 1, 1, wr), bmap),
         ],
         out_specs=[
-            pl.BlockSpec((1, wr_p, D), smap),
-            pl.BlockSpec((1, wr_p, 1), smap),
+            pl.BlockSpec((1, wr, D), omap),
+            pl.BlockSpec((1, wr, 1), omap),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, plan.out_rows, D), q_l.dtype),
@@ -531,7 +524,8 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
 def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
               out_dtype, interpret: bool):
     """mix_ins: per branch (out_arr, lse_arr, kind) where kind is
-    'view' (5-D compact) or 'dense' ((BH, S, *) comb order).
+    'view' (5-D compact) or 'dense' ((BH, S, *) comb_R order; for 'crd'
+    branches only covered rows are real).
     -> mixed (BH, S, D) out_dtype, m (BH, S, 1) f32, Z (BH, S, 1) f32.
     """
     R = plans[0].R
@@ -540,15 +534,15 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
     D = mix_ins[0][0].shape[-1]
     covered = [_covered_fn(p, H) for p in plans]
 
+    dmapD = lambda bh, j, t: (bh, j, 0)
     in_specs, operands = [], []
     for p, (o_arr, l_arr, kind) in zip(plans, mix_ins):
         if kind == "dense":
-            dmapD = lambda bh, j, t: (bh, j, 0)
             in_specs.append(pl.BlockSpec((1, MB, D), dmapD))
             in_specs.append(pl.BlockSpec((1, MB, 1), dmapD))
         else:
-            shp_o, mo = _mix_spec(p, S, H, MB, D, o_arr.dtype)
-            shp_l, ml = _mix_spec(p, S, H, MB, 1, jnp.float32)
+            shp_o, mo = _mix_spec(p, S, H, MB, D)
+            shp_l, ml = _mix_spec(p, S, H, MB, 1)
             in_specs.append(pl.BlockSpec(shp_o, mo))
             in_specs.append(pl.BlockSpec(shp_l, ml))
         operands += [o_arr, l_arr]
@@ -564,8 +558,11 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
             o = ins[2 * bi][...].reshape(MB, D).astype(jnp.float32)
             l = ins[2 * bi + 1][...].reshape(MB, 1)
             cov = covered[bi](bh, j)
-            if not (cov is True):
+            if cov is not True:
+                # uncovered blocks may hold unwritten garbage (NaN):
+                # hard-select both out and lse
                 l = jnp.where(cov, l, NEG_INF)
+                o = jnp.where(cov, o, 0.0)
             pairs.append((o, l))
             m = jnp.maximum(m, l)
         Z = jnp.zeros((MB, 1), jnp.float32)
@@ -580,21 +577,21 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
         m_ref[0] = m
         z_ref[0] = Z
 
-    dmapO = lambda bh, j, t: (bh, j, 0)
     mixed, m, Z = pl.pallas_call(
         kernel,
         grid=(BH, R, 1),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, MB, D), dmapO),
-            pl.BlockSpec((1, MB, 1), dmapO),
-            pl.BlockSpec((1, MB, 1), dmapO),
+            pl.BlockSpec((1, MB, D), dmapD),
+            pl.BlockSpec((1, MB, 1), dmapD),
+            pl.BlockSpec((1, MB, 1), dmapD),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S, D), out_dtype),
             jax.ShapeDtypeStruct((BH, S, 1), jnp.float32),
             jax.ShapeDtypeStruct((BH, S, 1), jnp.float32),
         ],
+        compiler_params=_kernel_params(),
         interpret=interpret,
     )(*operands)
     return mixed, m, Z
@@ -608,103 +605,79 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
 def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                      m_l, z_l, lse_b, S: int, H: int, scale: float,
                      interpret: bool):
-    """-> compact dq, dk, dv (BH, out_rows, D) in q.dtype.
+    """-> compact (or 'crd' comb_r-dense) dq, dk, dv in q.dtype.
 
-    dmix arrives in the branch's q layout ('slc'/'comb': dense
-    slc/comb_R order, chunk-assembled like q; 'gather': pre-gathered
-    compact). m/Z arrive pre-gathered into this branch's compact row
-    order for every mode (XLA row gathers via static tables); lse_b is
-    the branch's own compact lse.
+    dmix/m/Z arrive in the branch's own q layout ('slc': slc order;
+    'comb': dense comb_R, chunk-assembled like q; 'crd': comb_r-dense).
+    lse_b is this branch's forward lse (same layout as its out).
     """
     BH, _, D = q_l.shape
-    wr, wr_p, nch, bq = plan.wr, plan.wr_p, plan.nch, plan.bqb
+    wr, nch, bq = plan.wr, plan.nch, plan.bqb
     cr = plan.w if plan.mode == "slc" else \
         plan.cr2 if plan.mode == "comb" else wr
     need_scr = plan.mode == "comb"
-    gather = plan.mode == "gather"
-    pad_q = wr_p != wr
+    crd = plan.mode == "crd"
     cmap = _chunk_map(plan, S, H)
     bmap = _bias_map(plan, H)
-    smap = _seg_map(plan)
-    dmap = smap if gather else cmap   # dmix/m/Z block map
+    omap = cmap if crd else _seg_map(plan)
+    nfull, tail = wr // bq, wr % bq
 
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, m_ref, z_ref, l_ref,
                dq_ref, dk_ref, dv_ref, *scr):
         c = pl.program_id(2)
         dk_acc, dv_acc = scr[-2:]
         if need_scr:
-            qs, ks, vs, dms = scr[:-3]
+            qs, ks, vs, dms, mss, zss = scr[:-2]
             qs[pl.ds(c * cr, cr), :] = q_ref[0]
             ks[pl.ds(c * cr, cr), :] = k_ref[0]
             vs[pl.ds(c * cr, cr), :] = v_ref[0]
             dms[pl.ds(c * cr, cr), :] = dm_ref[0]
+            mss[pl.ds(c * cr, cr), :] = m_ref[0]
+            zss[pl.ds(c * cr, cr), :] = z_ref[0]
 
         @pl.when(c == nch - 1)
         def _compute():
             if need_scr:
                 k, v = ks[...], vs[...]
+                srcs = dict(q=qs, dm=dms, ms=mss, zs=zss)
 
-                def qrow(i):
-                    return qs[pl.ds(i * bq, bq), :]
-
-                def drow(i):
-                    return dms[pl.ds(i * bq, bq), :]
+                def rows_of(name, i0, rows):
+                    return srcs[name][pl.ds(i0, rows), :]
             else:
                 k, v = k_ref[0], v_ref[0]
-                if pad_q:
-                    qpad = scr[0]
-                    qpad[0:wr, :] = q_ref[0]
-                    if wr_p > wr:
-                        qpad[wr:wr_p, :] = jnp.zeros((wr_p - wr, D),
-                                                     qpad.dtype)
+                refs2 = dict(q=q_ref, dm=dm_ref, ms=m_ref, zs=z_ref)
 
-                    def qrow(i):
-                        return qpad[pl.ds(i * bq, bq), :]
-                else:
-                    def qrow(i):
-                        return q_ref[0, pl.ds(i * bq, bq), :]
-
-                def drow(i):
-                    return dm_ref[0, pl.ds(i * bq, bq), :]
-            # stats arrive as (1, wr_p) rows (lane-packed: a (wr_p, 1)
-            # column block would pad to 128 lanes and blow VMEM); one
-            # row->column relayout per segment into a scratch ref,
-            # then per-sub-block sublane ref slices.
-            stat_s = scr[-3]
-            stat_s[:, 0:1] = l_ref[0, 0].reshape(wr_p, 1)
-            stat_s[:, 1:2] = m_ref[0, 0].reshape(wr_p, 1)
-            stat_s[:, 2:3] = z_ref[0, 0].reshape(wr_p, 1)
-
-            def lrow(i):
-                return stat_s[pl.ds(i * bq, bq), 0:1]
-
-            def mrow(i):
-                return stat_s[pl.ds(i * bq, bq), 1:2]
-
-            def zrow(i):
-                return stat_s[pl.ds(i * bq, bq), 2:3]
-            bias_row = b_ref[0, 0, 0][:, :k.shape[0]]
+                def rows_of(name, i0, rows):
+                    return refs2[name][0, pl.ds(i0, rows), :]
+            bias_row = b_ref[0, 0, 0]
             dk_acc[...] = jnp.zeros_like(dk_acc)
             dv_acc[...] = jnp.zeros_like(dv_acc)
 
-            def body(i, _):
-                qi = qrow(i)
-                lse_i = lrow(i)                               # (bq, 1)
-                m_i = mrow(i)
-                z_i = zrow(i)
-                dmix_i = drow(i).astype(jnp.float32)
+            def step(i0, rows):
+                # qi pre-scaled: s = (scale q) k^T + bias, so p =
+                # exp(s - lse) needs no `where` over the score tile
+                # (masked keys underflow to exact 0; padded/invalid
+                # query rows have lse = NEG_INF => wm = 0, and their
+                # lse_exp clamp keeps exp() finite). dk uses the
+                # pre-scaled qi directly (dk = scale ds^T q); dq takes
+                # the scale as a cheap (rows, D) epilogue.
+                qi = rows_of("q", i0, rows).astype(jnp.float32) * scale
+                qi = qi.astype(k.dtype)
+                lse_i = l_ref[0, pl.ds(i0, rows), :]          # (rows,1)
+                m_i = rows_of("ms", i0, rows)
+                z_i = rows_of("zs", i0, rows)
+                dmix_i = rows_of("dm", i0, rows).astype(jnp.float32)
                 s = jax.lax.dot_general(
                     qi, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                s = jnp.where(bias_row > _MASK_THRESHOLD, s * scale,
-                              NEG_INF)
-                lse_exp = jnp.where(lse_i > _MASK_THRESHOLD, lse_i, 0.0)
-                p = jnp.where(s > _MASK_THRESHOLD, jnp.exp(s - lse_exp),
-                              0.0)
+                s = s + bias_row
+                lse_exp = jnp.where(lse_i > _MASK_THRESHOLD, lse_i,
+                                    jnp.float32(-_MASK_THRESHOLD))
+                p = jnp.exp(s - lse_exp)
                 zsafe = jnp.where(z_i > 0, z_i, 1.0)
                 wm = jnp.where(lse_i > _MASK_THRESHOLD,
                                jnp.exp(lse_i - m_i) / zsafe, 0.0)
-                do = dmix_i * wm                              # (bq, D)
+                do = dmix_i * wm                              # (rows,D)
                 pb = p.astype(v.dtype)
                 out_i = jax.lax.dot_general(
                     pb, v, (((1,), (0,)), ((), ())),
@@ -714,37 +687,40 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                 dp = jax.lax.dot_general(
                     dob, v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                ds = p * (dp - delta) * scale
+                ds = p * (dp - delta)
                 dsb = ds.astype(k.dtype)
                 dq_i = jax.lax.dot_general(
                     dsb, k, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dq_ref[0, pl.ds(i * bq, bq), :] = dq_i.astype(
+                    preferred_element_type=jnp.float32) * scale
+                dq_ref[0, pl.ds(i0, rows), :] = dq_i.astype(
                     dq_ref.dtype)
-                dk_acc[0:wr, :] += jax.lax.dot_general(
+                dk_acc[...] += jax.lax.dot_general(
                     dsb, qi, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                dv_acc[0:wr, :] += jax.lax.dot_general(
+                dv_acc[...] += jax.lax.dot_general(
                     pb, dob, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+
+            def body(i, _):
+                step(i * bq, bq)
                 return 0
 
-            jax.lax.fori_loop(0, plan.nqbb, body, 0)
+            jax.lax.fori_loop(0, nfull, body, 0)
+            if tail:
+                step(nfull * bq, tail)
             dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
             dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
-    kv_rows = wr_p  # dk/dv row stride matches dq (tail rows stay zero)
     scratch = []
     if need_scr:
-        scratch = [pltpu.VMEM((wr, D), q_l.dtype) for _ in range(4)]
-    elif pad_q:
-        scratch = [pltpu.VMEM((wr_p, D), q_l.dtype)]
-    scratch += [pltpu.VMEM((wr_p, 3), jnp.float32)]
-    scratch += [pltpu.VMEM((kv_rows, D), jnp.float32) for _ in range(2)]
+        scratch = [pltpu.VMEM((wr, D), q_l.dtype),
+                   pltpu.VMEM((wr, D), q_l.dtype),
+                   pltpu.VMEM((wr, D), q_l.dtype),
+                   pltpu.VMEM((wr, D), dmix_l.dtype),
+                   pltpu.VMEM((wr, 1), jnp.float32),
+                   pltpu.VMEM((wr, 1), jnp.float32)]
+    scratch += [pltpu.VMEM((wr, D), jnp.float32) for _ in range(2)]
 
-    dm_cr = wr_p if gather else cr
-    smap4 = lambda bh, n, c: (bh, n, 0, 0)
-    statv = lambda a: a.reshape(BH, plan.nseg, 1, wr_p)
     outs = pl.pallas_call(
         kernel,
         grid=(BH, plan.nseg, nch),
@@ -752,60 +728,54 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
             pl.BlockSpec((1, cr, D), cmap),
             pl.BlockSpec((1, cr, D), cmap),
             pl.BlockSpec((1, cr, D), cmap),
-            pl.BlockSpec((1, 1, 1, 1, wr_p), bmap),
-            pl.BlockSpec((1, dm_cr, D), dmap),
-            pl.BlockSpec((1, 1, 1, wr_p), smap4),
-            pl.BlockSpec((1, 1, 1, wr_p), smap4),
-            pl.BlockSpec((1, 1, 1, wr_p), smap4),
+            pl.BlockSpec((1, 1, 1, 1, wr), bmap),
+            pl.BlockSpec((1, cr, D), cmap),
+            pl.BlockSpec((1, cr, 1), cmap),
+            pl.BlockSpec((1, cr, 1), cmap),
+            pl.BlockSpec((1, wr, 1), omap),
         ],
         out_specs=[
-            pl.BlockSpec((1, wr_p, D), smap),
-            pl.BlockSpec((1, kv_rows, D),
-                         lambda bh, n, c: (bh, n, 0)),
-            pl.BlockSpec((1, kv_rows, D),
-                         lambda bh, n, c: (bh, n, 0)),
+            pl.BlockSpec((1, wr, D), omap),
+            pl.BlockSpec((1, wr, D), omap),
+            pl.BlockSpec((1, wr, D), omap),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, plan.out_rows, D), q_l.dtype),
-            jax.ShapeDtypeStruct((BH, plan.nseg * kv_rows, D),
-                                 q_l.dtype),
-            jax.ShapeDtypeStruct((BH, plan.nseg * kv_rows, D),
-                                 q_l.dtype),
+            jax.ShapeDtypeStruct((BH, plan.out_rows, D), q_l.dtype)
+            for _ in range(3)
         ],
         scratch_shapes=scratch,
         compiler_params=_kernel_params(),
         interpret=interpret,
-    )(q_l, k_l, v_l, bias, dmix_l, statv(m_l), statv(z_l),
-      statv(lse_b))
+    )(q_l, k_l, v_l, bias, dmix_l, m_l, z_l, lse_b)
     return outs
 
 
 # ---------------------------------------------------------------------------
-# Combine kernel (sum compact per-branch gradients to dense comb)
+# Combine kernel (sum per-branch gradients to dense comb)
 # ---------------------------------------------------------------------------
 
 
 def _combine_call(plans: List[_BranchPlan], grads, S: int, H: int,
                   out_dtype, interpret: bool):
-    """grads: per branch (dq, dk, dv, kind) with kind 'view'|'dense'.
-    'view' arrays are 5-D (BH, nseg, A, cr2, D); dk/dv of slc/comb
-    branches have wr rows per segment (== wr_p). -> dense comb
-    (dq, dk, dv) each (BH, S, D)."""
+    """grads: per branch (dq, dk, dv, kind) with kind 'view'|'dense'
+    ('crd' branches arrive dense after the comb_r->comb_R transpose,
+    with garbage at uncovered rows -- masked here via the covered
+    predicate). -> dense comb (dq, dk, dv) each (BH, S, D)."""
     R = plans[0].R
     MB = S // R
     BH = grads[0][0].shape[0]
     D = grads[0][0].shape[-1]
     covered = [_covered_fn(p, H) for p in plans]
 
+    dmapD = lambda bh, j, t: (bh, j, 0)
     in_specs, operands = [], []
     for p, (dq, dk, dv, kind) in zip(plans, grads):
         if kind == "dense":
-            dmapD = lambda bh, j, t: (bh, j, 0)
             for a in (dq, dk, dv):
                 in_specs.append(pl.BlockSpec((1, MB, D), dmapD))
                 operands.append(a)
         else:
-            shp, mo = _mix_spec(p, S, H, MB, D, dq.dtype)
+            shp, mo = _mix_spec(p, S, H, MB, D)
             for a in (dq, dk, dv):
                 in_specs.append(pl.BlockSpec(shp, mo))
                 operands.append(a)
@@ -828,14 +798,14 @@ def _combine_call(plans: List[_BranchPlan], grads, S: int, H: int,
         for t in range(3):
             out_refs[t][0] = accs[t].astype(out_refs[t].dtype)
 
-    dmapO = lambda bh, j, t: (bh, j, 0)
     return pl.pallas_call(
         kernel,
         grid=(BH, R, 1),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, MB, D), dmapO) for _ in range(3)],
+        out_specs=[pl.BlockSpec((1, MB, D), dmapD) for _ in range(3)],
         out_shape=[jax.ShapeDtypeStruct((BH, S, D), out_dtype)
                    for _ in range(3)],
+        compiler_params=_kernel_params(),
         interpret=interpret,
     )(*operands)
 
@@ -850,7 +820,7 @@ def _layout_key(plan: _BranchPlan, i: int):
         return ("slc", plan.w)
     if plan.mode == "comb":
         return ("comb",)
-    return ("cr", i)
+    return ("crd", plan.r, plan.lp)
 
 
 @functools.lru_cache(maxsize=32)
@@ -865,48 +835,28 @@ def _build_fused(B: int, S: int, H: int, D: int,
     R, plans = make_plans(S, segments, ratios)
     BH = B * H
     pos_tables = [_position_table(p, S) for p in plans]
-    gtabs = {i: _gather_tables(p, S, R, H)
-             for i, p in enumerate(plans) if p.mode == "gather"}
-    # static per-(bh) gather tables
-    gidx = {i: np.tile(t[0], (B, 1)) for i, t in gtabs.items()}
-    gcov = {i: np.tile(t[1], (B, 1)) for i, t in gtabs.items()}
-    ginv = {i: np.tile(t[2], (B, 1)) for i, t in gtabs.items()}
 
-    def _stat_inv(i, p):
-        """(BH, out_rows) dense-comb row feeding each compact row (the
-        backward pre-gathers the mix stats m/Z into branch order)."""
-        if p.mode == "gather":
-            return ginv[i]
-        pos = pos_tables[i]                       # (G, nseg, wr_p)
-        rows = (pos % R) * (S // R) + pos // R    # comb row of position
-        rows = np.where(pos >= 0, rows, 0).astype(np.int32)
-        rows = rows.reshape(pos.shape[0], -1)     # (G, out_rows)
-        per_head = rows[np.arange(H) // (H // p.r) % rows.shape[0]]
-        return np.tile(per_head, (B, 1))
-
-    stat_inv = {i: _stat_inv(i, p) for i, p in enumerate(plans)}
+    def to_layout(xn, plan):
+        if plan.mode == "slc":
+            return slc(xn, plan.w, R)
+        if plan.mode == "comb":
+            return comb(xn, R)
+        return comb_r(xn, plan.r, plan.lp)
 
     def layouts(xn):
         lay = {}
         for i, p in enumerate(plans):
             key = _layout_key(p, i)
-            if key in lay:
-                continue
-            if p.mode == "slc":
-                lay[key] = slc(xn, p.w, R)
-            elif p.mode == "comb":
-                lay[key] = comb(xn, R)
-            else:
-                lay[key] = comb_r(xn, p.r, p.lp)
+            if key not in lay:
+                lay[key] = to_layout(xn, p)
         return lay
 
-    def expand(i, p, compact, fill, last):
-        """compact (BH, out_rows, last) -> dense comb (BH, S, last)."""
-        idx = jnp.asarray(gidx[i])[..., None]
-        cov = jnp.asarray(gcov[i])[..., None]
-        got = jnp.take_along_axis(
-            compact, jnp.broadcast_to(idx, (BH, S, 1)), axis=1)
-        return jnp.where(cov, got, fill).astype(compact.dtype)
+    def crd_to_dense(plan, arr):
+        """comb_r-dense (BH, lp, ...) -> comb_R-dense (BH, S, ...)."""
+        return comb(uncomb_r(arr, plan.r, S), R)
+
+    def view5(plan, arr, last):
+        return arr.reshape(BH, plan.nseg, plan.A, plan.cr2, last)
 
     def fwd_impl(qn, kn, vn, vmask):
         ql, kl, vl = layouts(qn), layouts(kn), layouts(vn)
@@ -921,15 +871,12 @@ def _build_fused(B: int, S: int, H: int, D: int,
             lses.append(l)
         mix_ins = []
         for i, p in enumerate(plans):
-            if p.mode == "gather":
-                mix_ins.append((expand(i, p, outs[i], 0.0, D),
-                                expand(i, p, lses[i], NEG_INF, 1),
-                                "dense"))
+            if p.mode == "crd":
+                mix_ins.append((crd_to_dense(p, outs[i]),
+                                crd_to_dense(p, lses[i]), "dense"))
             else:
-                mix_ins.append(
-                    (outs[i].reshape(BH, p.nseg, p.A, p.cr2, D),
-                     lses[i].reshape(BH, p.nseg, p.A, p.cr2, 1),
-                     "view"))
+                mix_ins.append((view5(p, outs[i], D),
+                                view5(p, lses[i], 1), "view"))
         mixed, m, Z = _mix_call(plans, mix_ins, S, H, qn.dtype,
                                 interpret)
         mixed = checkpoint_name(mixed, "dilated_out")
@@ -941,38 +888,33 @@ def _build_fused(B: int, S: int, H: int, D: int,
     def bwd_impl(res, g):
         qn, kn, vn, vmask, lses, m, Z = res
         dc = comb(g, R)
+        d_nat = g
+        m_nat, Z_nat = uncomb(m, R), uncomb(Z, R)
         ql, kl, vl = layouts(qn), layouts(kn), layouts(vn)
         biases = [_branch_bias(vmask, B, p, pos_tables[i])
                   for i, p in enumerate(plans)]
         grads = []
         for i, p in enumerate(plans):
             key = _layout_key(p, i)
-            inv = jnp.asarray(stat_inv[i])[..., None]
-            rows = p.out_rows
-
-            def pregather(arr):
-                return jnp.take_along_axis(
-                    arr, jnp.broadcast_to(inv, (BH, rows, 1)), axis=1)
-            ml, zl = pregather(m), pregather(Z)
             if p.mode == "slc":
-                dml = slc(uncomb(dc, R), p.w, R)
+                dml = slc(d_nat, p.w, R)
+                ml = slc(m_nat, p.w, R)
+                zl = slc(Z_nat, p.w, R)
             elif p.mode == "comb":
-                dml = dc
+                dml, ml, zl = dc, m, Z
             else:
-                dml = jnp.take_along_axis(
-                    dc, jnp.broadcast_to(inv, (BH, rows, D)), axis=1)
+                dml = comb_r(d_nat, p.r, p.lp)
+                ml = comb_r(m_nat, p.r, p.lp)
+                zl = comb_r(Z_nat, p.r, p.lp)
             dq, dk, dv = _branch_bwd_call(
                 p, ql[key], kl[key], vl[key], biases[i], dml, ml, zl,
                 lses[i], S, H, scale, interpret)
-            if p.mode == "gather":
-                grads.append((expand(i, p, dq, 0.0, D),
-                              expand(i, p, dk, 0.0, D),
-                              expand(i, p, dv, 0.0, D), "dense"))
+            if p.mode == "crd":
+                grads.append((crd_to_dense(p, dq), crd_to_dense(p, dk),
+                              crd_to_dense(p, dv), "dense"))
             else:
-                grads.append(
-                    (dq.reshape(BH, p.nseg, p.A, p.cr2, D),
-                     dk.reshape(BH, p.nseg, p.A, p.cr2, D),
-                     dv.reshape(BH, p.nseg, p.A, p.cr2, D), "view"))
+                grads.append((view5(p, dq, D), view5(p, dk, D),
+                              view5(p, dv, D), "view"))
         dqc, dkc, dvc = _combine_call(plans, grads, S, H, qn.dtype,
                                       interpret)
         return (uncomb(dqc, R), uncomb(dkc, R), uncomb(dvc, R),

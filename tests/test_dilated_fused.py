@@ -42,7 +42,7 @@ def _inputs(seed=0, masked=True, B=2):
 def test_eligibility():
     assert fused_eligible(S, H, D, SEGS, RATIOS)
     R, plans = make_plans(S, SEGS, RATIOS)
-    assert [p.mode for p in plans] == ["slc", "comb", "comb", "gather"]
+    assert [p.mode for p in plans] == ["slc", "comb", "comb", "crd"]
     # flagship geometry (bucket 10240, GigaPath schedule)
     assert fused_eligible(10240, 16, 48,
                           (1024, 5792, 32768, 185363, 1048576),
