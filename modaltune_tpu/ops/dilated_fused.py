@@ -49,6 +49,7 @@ Anything failing :func:`fused_eligible` falls back to the XLA path
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -171,6 +172,10 @@ def fused_eligible(S: int, H: int, D: int,
     MB = S // R                        # mix block rows per comb block
     if not any(p.r == 1 and p.mode == "slc" for p in plans):
         return False                   # mix assumes full coverage
+    widths = [MB] + [p.cr2 for p in plans if p.mode != "crd"]
+    cmin = math.gcd(*widths)
+    if cmin % 8 or cmin < 8:
+        return False                   # common lane tile for stats
     for p in plans:
         if H % p.r or R % p.r:
             return False
@@ -370,6 +375,35 @@ def _mix_spec(plan: _BranchPlan, S: int, H: int, MB: int, last: int):
     return shape, m
 
 
+def _mix_stat_spec(plan: _BranchPlan, S: int, H: int, MB: int,
+                   cmin: int):
+    """Stat (lse) variant of :func:`_mix_spec`: the compact stat array
+    is lane-major, viewed as (BH, nseg, A, cr2//cmin, cmin) so blocks
+    reshape freely to the common (MB//cmin, cmin) tile."""
+    r, cr2, A = plan.r, plan.cr2, plan.A
+    hg = H // r
+
+    def a_of(bh, j):
+        if plan.mode == "slc":
+            return j
+        g = (bh % H) // hg
+        return jnp.clip((j - g) // r, 0, A - 1)
+
+    if MB % cr2 == 0:
+        segs = MB // cr2
+        shape = (1, segs, 1, cr2 // cmin, cmin)
+
+        def m(bh, j, t):
+            return (bh, t * segs, a_of(bh, j), 0, 0)
+    else:  # cr2 % MB == 0
+        shape = (1, 1, 1, MB // cmin, cmin)
+
+        def m(bh, j, t):
+            u0 = t * MB
+            return (bh, u0 // cr2, a_of(bh, j), (u0 % cr2) // MB, 0)
+    return shape, m
+
+
 def _covered_fn(plan: _BranchPlan, H: int):
     """Traced (bh, j) -> bool: does this branch cover comb block j for
     the head of bh? ('slc' covers everything; 'comb' and 'crd' cover
@@ -425,8 +459,9 @@ def _attend_block(qi, k, v, bias_row, scale, lse_valid=None):
 
 def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
                      H: int, scale: float, interpret: bool):
-    """-> (out, lse): compact (BH, nseg*wr, ...) for 'slc'/'comb', or
-    comb_r-dense (BH, lp, ...) for 'crd' (uncovered rows garbage)."""
+    """-> (out, lse): out compact (BH, nseg*wr, D) for 'slc'/'comb' or
+    comb_r-dense (BH, lp, D) for 'crd' (uncovered rows garbage); lse is
+    lane-major (BH, out_rows/wr, 1, wr) fp32."""
     BH, _, D = q_l.shape
     wr, nch, bq = plan.wr, plan.nch, plan.bq
     cr = plan.w if plan.mode == "slc" else \
@@ -443,7 +478,7 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
         seg_n = pl.program_id(1)
         bh_id = pl.program_id(0)
         if need_scr:
-            qs, ks, vs = scr
+            qs, ks, vs = scr[:3]
             qs[pl.ds(c * cr, cr), :] = q_ref[0]
             ks[pl.ds(c * cr, cr), :] = k_ref[0]
             vs[pl.ds(c * cr, cr), :] = v_ref[0]
@@ -472,13 +507,15 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
                 def lval(i0, rows):
                     return None
 
+            lcol = scr[-1]
+
             def step(i0, rows):
                 qi = qrow(i0, rows).astype(jnp.float32) * scale
                 qi = qi.astype(k.dtype)
                 o, lse = _attend_block(qi, k, v, bias_row,
                                        scale, lval(i0, rows))
                 o_ref[0, pl.ds(i0, rows), :] = o.astype(o_ref.dtype)
-                l_ref[0, pl.ds(i0, rows), :] = lse
+                lcol[pl.ds(i0, rows), :] = lse
 
             def body(i, _):
                 step(i * bq, bq)
@@ -487,10 +524,14 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
             jax.lax.fori_loop(0, nfull, body, 0)
             if tail:
                 step(nfull * bq, tail)
+            # lse leaves as a lane-major row: a (wr, 1) column block
+            # would DMA 4 bytes per sublane row
+            l_ref[0, 0] = lcol[...].reshape(1, wr)
 
     scratch = []
     if need_scr:
         scratch = [pltpu.VMEM((wr, D), q_l.dtype) for _ in range(3)]
+    scratch += [pltpu.VMEM((wr, 1), jnp.float32)]
 
     out, lse = pl.pallas_call(
         kernel,
@@ -503,11 +544,13 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
         ],
         out_specs=[
             pl.BlockSpec((1, wr, D), omap),
-            pl.BlockSpec((1, wr, 1), omap),
+            pl.BlockSpec((1, 1, 1, wr),
+                         lambda bh, n, c: omap(bh, n, c)[:2] + (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, plan.out_rows, D), q_l.dtype),
-            jax.ShapeDtypeStruct((BH, plan.out_rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, plan.out_rows // wr, 1, wr),
+                                 jnp.float32),
         ],
         scratch_shapes=scratch,
         compiler_params=_kernel_params(),
@@ -521,30 +564,48 @@ def _branch_fwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, S: int,
 # ---------------------------------------------------------------------------
 
 
+def _stat_cmin(plans: List[_BranchPlan], MB: int) -> int:
+    widths = [MB] + [p.cr2 for p in plans if p.mode != "crd"]
+    return math.gcd(*widths)
+
+
 def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
               out_dtype, interpret: bool):
     """mix_ins: per branch (out_arr, lse_arr, kind) where kind is
-    'view' (5-D compact) or 'dense' ((BH, S, *) comb_R order; for 'crd'
-    branches only covered rows are real).
-    -> mixed (BH, S, D) out_dtype, m (BH, S, 1) f32, Z (BH, S, 1) f32.
+    'view' (out 5-D compact; lse lane-major 4-D (BH, rows/wr, 1, wr))
+    or 'dense' (out (BH, S, D) comb_R order, lse (BH, S) lane-major;
+    for 'crd' branches only covered rows are real).
+
+    All stat math runs on a common (MB//cmin, cmin) lane tile so that
+    differently-chunked branches stay shape-compatible without any
+    sublane<->lane relayout, and every stat DMA moves cmin*4-byte rows
+    instead of 4-byte ones.
+
+    -> mixed (BH, S, D) out_dtype, m (BH, S) f32, Z (BH, S) f32.
     """
     R = plans[0].R
     MB = S // R
     BH = mix_ins[0][0].shape[0]
     D = mix_ins[0][0].shape[-1]
     covered = [_covered_fn(p, H) for p in plans]
+    cmin = _stat_cmin(plans, MB)
+    MBc = MB // cmin
 
     dmapD = lambda bh, j, t: (bh, j, 0)
+    dmapS = lambda bh, j, t: (bh, j, t, 0)
     in_specs, operands = [], []
     for p, (o_arr, l_arr, kind) in zip(plans, mix_ins):
         if kind == "dense":
             in_specs.append(pl.BlockSpec((1, MB, D), dmapD))
-            in_specs.append(pl.BlockSpec((1, MB, 1), dmapD))
+            in_specs.append(pl.BlockSpec((1, 1, MBc, cmin), dmapS))
+            l_arr = l_arr.reshape(BH, R, MBc, cmin)
         else:
             shp_o, mo = _mix_spec(p, S, H, MB, D)
-            shp_l, ml = _mix_spec(p, S, H, MB, 1)
+            shp_l, ml = _mix_stat_spec(p, S, H, MB, cmin)
             in_specs.append(pl.BlockSpec(shp_o, mo))
             in_specs.append(pl.BlockSpec(shp_l, ml))
+            l_arr = l_arr.reshape(BH, p.nseg, p.A, p.cr2 // cmin,
+                                  cmin)
         operands += [o_arr, l_arr]
 
     def kernel(*refs):
@@ -552,11 +613,12 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
         j = pl.program_id(1)
         outs_refs = refs[-3:]
         ins = refs[:-3]
-        m = jnp.full((MB, 1), NEG_INF, jnp.float32)
+        m = jnp.full((MBc, cmin), NEG_INF, jnp.float32)
         pairs = []
         for bi, p in enumerate(plans):
-            o = ins[2 * bi][...].reshape(MB, D).astype(jnp.float32)
-            l = ins[2 * bi + 1][...].reshape(MB, 1)
+            o = ins[2 * bi][...].reshape(MBc, cmin, D).astype(
+                jnp.float32)
+            l = ins[2 * bi + 1][...].reshape(MBc, cmin)
             cov = covered[bi](bh, j)
             if cov is not True:
                 # uncovered blocks may hold unwritten garbage (NaN):
@@ -565,17 +627,18 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
                 o = jnp.where(cov, o, 0.0)
             pairs.append((o, l))
             m = jnp.maximum(m, l)
-        Z = jnp.zeros((MB, 1), jnp.float32)
-        acc = jnp.zeros((MB, D), jnp.float32)
+        Z = jnp.zeros((MBc, cmin), jnp.float32)
+        acc = jnp.zeros((MBc, cmin, D), jnp.float32)
         for o, l in pairs:
             wb = jnp.where(l > _MASK_THRESHOLD, jnp.exp(l - m), 0.0)
             Z = Z + wb
-            acc = acc + wb * o
+            acc = acc + wb[:, :, None] * o
         zsafe = jnp.where(Z > 0, Z, 1.0)
         mixed_ref, m_ref, z_ref = outs_refs
-        mixed_ref[0] = (acc / zsafe).astype(mixed_ref.dtype)
-        m_ref[0] = m
-        z_ref[0] = Z
+        mixed_ref[0] = (acc / zsafe[:, :, None]).reshape(
+            MB, D).astype(mixed_ref.dtype)
+        m_ref[0, 0] = m
+        z_ref[0, 0] = Z
 
     mixed, m, Z = pl.pallas_call(
         kernel,
@@ -583,18 +646,18 @@ def _mix_call(plans: List[_BranchPlan], mix_ins, S: int, H: int,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, MB, D), dmapD),
-            pl.BlockSpec((1, MB, 1), dmapD),
-            pl.BlockSpec((1, MB, 1), dmapD),
+            pl.BlockSpec((1, 1, MBc, cmin), dmapS),
+            pl.BlockSpec((1, 1, MBc, cmin), dmapS),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S, D), out_dtype),
-            jax.ShapeDtypeStruct((BH, S, 1), jnp.float32),
-            jax.ShapeDtypeStruct((BH, S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, R, MBc, cmin), jnp.float32),
+            jax.ShapeDtypeStruct((BH, R, MBc, cmin), jnp.float32),
         ],
         compiler_params=_kernel_params(),
         interpret=interpret,
     )(*operands)
-    return mixed, m, Z
+    return mixed, m.reshape(BH, S), Z.reshape(BH, S)
 
 
 # ---------------------------------------------------------------------------
@@ -620,35 +683,43 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
     cmap = _chunk_map(plan, S, H)
     bmap = _bias_map(plan, H)
     omap = cmap if crd else _seg_map(plan)
+    smap2 = lambda bh, n, c: (bh, cmap(bh, n, c)[1], 0, 0)
+    lmap4 = lambda bh, n, c: (bh, omap(bh, n, c)[1], 0, 0)
     nfull, tail = wr // bq, wr % bq
 
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, m_ref, z_ref, l_ref,
                dq_ref, dk_ref, dv_ref, *scr):
         c = pl.program_id(2)
         dk_acc, dv_acc = scr[-2:]
+        mcol, zcol, lcol = scr[-5:-2]
+        # stats arrive lane-major; one (1, cr)->(cr, 1) cast per chunk
+        # assembles them into column scratches (a (cr, 1) column block
+        # would DMA 4 bytes per sublane row)
+        mcol[pl.ds(c * cr, cr), :] = m_ref[0, 0].reshape(cr, 1)
+        zcol[pl.ds(c * cr, cr), :] = z_ref[0, 0].reshape(cr, 1)
         if need_scr:
-            qs, ks, vs, dms, mss, zss = scr[:-2]
+            qs, ks, vs, dms = scr[:-5]
             qs[pl.ds(c * cr, cr), :] = q_ref[0]
             ks[pl.ds(c * cr, cr), :] = k_ref[0]
             vs[pl.ds(c * cr, cr), :] = v_ref[0]
             dms[pl.ds(c * cr, cr), :] = dm_ref[0]
-            mss[pl.ds(c * cr, cr), :] = m_ref[0]
-            zss[pl.ds(c * cr, cr), :] = z_ref[0]
 
         @pl.when(c == nch - 1)
         def _compute():
+            lcol[...] = l_ref[0, 0].reshape(wr, 1)
             if need_scr:
                 k, v = ks[...], vs[...]
-                srcs = dict(q=qs, dm=dms, ms=mss, zs=zss)
+                srcs = dict(q=qs, dm=dms)
 
                 def rows_of(name, i0, rows):
                     return srcs[name][pl.ds(i0, rows), :]
             else:
                 k, v = k_ref[0], v_ref[0]
-                refs2 = dict(q=q_ref, dm=dm_ref, ms=m_ref, zs=z_ref)
+                refs2 = dict(q=q_ref, dm=dm_ref)
 
                 def rows_of(name, i0, rows):
                     return refs2[name][0, pl.ds(i0, rows), :]
+
             bias_row = b_ref[0, 0, 0]
             dk_acc[...] = jnp.zeros_like(dk_acc)
             dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -663,9 +734,9 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                 # the scale as a cheap (rows, D) epilogue.
                 qi = rows_of("q", i0, rows).astype(jnp.float32) * scale
                 qi = qi.astype(k.dtype)
-                lse_i = l_ref[0, pl.ds(i0, rows), :]          # (rows,1)
-                m_i = rows_of("ms", i0, rows)
-                z_i = rows_of("zs", i0, rows)
+                lse_i = lcol[pl.ds(i0, rows), :]              # (rows,1)
+                m_i = mcol[pl.ds(i0, rows), :]
+                z_i = zcol[pl.ds(i0, rows), :]
                 dmix_i = rows_of("dm", i0, rows).astype(jnp.float32)
                 s = jax.lax.dot_general(
                     qi, k, (((1,), (1,)), ((), ())),
@@ -716,9 +787,8 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
         scratch = [pltpu.VMEM((wr, D), q_l.dtype),
                    pltpu.VMEM((wr, D), q_l.dtype),
                    pltpu.VMEM((wr, D), q_l.dtype),
-                   pltpu.VMEM((wr, D), dmix_l.dtype),
-                   pltpu.VMEM((wr, 1), jnp.float32),
-                   pltpu.VMEM((wr, 1), jnp.float32)]
+                   pltpu.VMEM((wr, D), dmix_l.dtype)]
+    scratch += [pltpu.VMEM((wr, 1), jnp.float32) for _ in range(3)]
     scratch += [pltpu.VMEM((wr, D), jnp.float32) for _ in range(2)]
 
     outs = pl.pallas_call(
@@ -730,9 +800,9 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
             pl.BlockSpec((1, cr, D), cmap),
             pl.BlockSpec((1, 1, 1, 1, wr), bmap),
             pl.BlockSpec((1, cr, D), cmap),
-            pl.BlockSpec((1, cr, 1), cmap),
-            pl.BlockSpec((1, cr, 1), cmap),
-            pl.BlockSpec((1, wr, 1), omap),
+            pl.BlockSpec((1, 1, 1, cr), smap2),
+            pl.BlockSpec((1, 1, 1, cr), smap2),
+            pl.BlockSpec((1, 1, 1, wr), lmap4),
         ],
         out_specs=[
             pl.BlockSpec((1, wr, D), omap),
@@ -746,7 +816,8 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
         scratch_shapes=scratch,
         compiler_params=_kernel_params(),
         interpret=interpret,
-    )(q_l, k_l, v_l, bias, dmix_l, m_l, z_l, lse_b)
+    )(q_l, k_l, v_l, bias, dmix_l,
+      m_l.reshape(BH, -1, 1, cr), z_l.reshape(BH, -1, 1, cr), lse_b)
     return outs
 
 
@@ -872,11 +943,12 @@ def _build_fused(B: int, S: int, H: int, D: int,
         mix_ins = []
         for i, p in enumerate(plans):
             if p.mode == "crd":
-                mix_ins.append((crd_to_dense(p, outs[i]),
-                                crd_to_dense(p, lses[i]), "dense"))
+                lse_d = crd_to_dense(p, lses[i].reshape(BH, p.lp))
+                mix_ins.append((crd_to_dense(p, outs[i]), lse_d,
+                                "dense"))
             else:
-                mix_ins.append((view5(p, outs[i], D),
-                                view5(p, lses[i], 1), "view"))
+                mix_ins.append((view5(p, outs[i], D), lses[i],
+                                "view"))
         mixed, m, Z = _mix_call(plans, mix_ins, S, H, qn.dtype,
                                 interpret)
         mixed = checkpoint_name(mixed, "dilated_out")
@@ -889,7 +961,7 @@ def _build_fused(B: int, S: int, H: int, D: int,
         qn, kn, vn, vmask, lses, m, Z = res
         dc = comb(g, R)
         d_nat = g
-        m_nat, Z_nat = uncomb(m, R), uncomb(Z, R)
+        m_nat, Z_nat = uncomb(m, R), uncomb(Z, R)   # (BH, S) lane-major
         ql, kl, vl = layouts(qn), layouts(kn), layouts(vn)
         biases = [_branch_bias(vmask, B, p, pos_tables[i])
                   for i, p in enumerate(plans)]
