@@ -76,6 +76,14 @@ class LongNetConfig:
     # LSE-mix kernel, ops/dilated_fused.py); used when the shapes are
     # eligible and the backend is TPU, else falls back to ops/dilated.py
     fused_attention: bool = True
+    # LoRA-adapter encoder variant: per-modality (img/gene/task) LoRA
+    # deltas on q/k/v (LongNetLoraAdapterEncoder, LongNet.py:85-177;
+    # selected by ``lora_adapter`` at slide_encoder.py:101)
+    lora_adapter: bool = False
+    lora_alpha: float = 32.0
+    img_lora_dim: int = 4
+    mm_lora_dim: int = 8
+    lora_dropout: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "segment_lengths", tuple(self.segment_lengths))

@@ -297,7 +297,8 @@ class BucketedLoader:
 
     def __init__(self, dataset, buckets: Sequence[int] = DEFAULT_BUCKETS,
                  batch_size: int = 1, shuffle: bool = True, seed: int = 0,
-                 prefetch: int = 2, device_prefetch: bool = False):
+                 prefetch: int = 2, device_prefetch: bool = False,
+                 process_shard=None):
         self.dataset = dataset
         self.buckets = tuple(sorted(buckets))
         self.batch_size = batch_size
@@ -305,6 +306,10 @@ class BucketedLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.device_prefetch = device_prefetch
+        # (process_id, num_processes): iterate only this process's
+        # case-modulo shard while dataset.metadata() stays global — the
+        # DistributedSampler equivalent (base_trainer.py:283-307)
+        self.process_shard = process_shard
         self.epoch = 0
 
     def _to_device(self, batch: Batch) -> Batch:
@@ -316,13 +321,20 @@ class BucketedLoader:
             clinical=(None if batch.clinical is None
                       else put(batch.clinical)))
 
+    def _indices(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.process_shard is not None:
+            pid, n = self.process_shard
+            order = order[pid::n]
+        return order
+
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._indices())
         return (n + self.batch_size - 1) // self.batch_size
 
     def _iter_batches(self) -> Iterator[Batch]:
         rng = np.random.RandomState(self.seed + self.epoch)
-        order = np.arange(len(self.dataset))
+        order = self._indices()
         if self.shuffle:
             rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):

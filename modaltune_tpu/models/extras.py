@@ -125,6 +125,57 @@ def top1_gating(logits: jax.Array, capacity: int
     return combine, dispatch.astype(bool), aux
 
 
+def top2_gating(logits: jax.Array, capacity: Optional[int] = None,
+                rng: Optional[jax.Array] = None
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """GShard top-2 gating (``xmoe/routing.py:258-448``).
+
+    -> (combine (S, E, C), dispatch (S, E, C) bool, aux loss). Mirrors
+    the reference defaults: capacity ``2*ceil(S/E)``; the second expert
+    is the argmax of the remaining logits (plus Gumbel noise when
+    ``rng`` is given — ``second_expert_policy='sampling'``); gate
+    weights are normalized g/(g1+g2) AFTER capacity dropping
+    (``normalize_gate_prob_before_dropping=False``); aux loss
+    ``mean(me * ce) * E^2`` uses top-1 dispatch only.
+    """
+    s, e = logits.shape
+    if capacity is None:
+        capacity = 2 * -(-s // e)
+    gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    idx1 = jnp.argmax(gates, axis=-1)
+    mask1 = jax.nn.one_hot(idx1, e)
+    noisy = logits if rng is None else \
+        logits + jax.random.gumbel(rng, logits.shape, jnp.float32)
+    logits_except1 = jnp.where(mask1 > 0, -jnp.inf, noisy)
+    idx2 = jnp.argmax(logits_except1, axis=-1)
+    mask2 = jax.nn.one_hot(idx2, e)
+
+    # capacity-queue positions; expert-2 queues start after expert-1's
+    loc1 = jnp.cumsum(mask1, axis=0) * mask1 - mask1
+    loc2 = jnp.cumsum(mask2, axis=0) * mask2 - mask2
+    loc2 = loc2 + jnp.sum(mask1, axis=0, keepdims=True)
+
+    me = gates.mean(axis=0)
+    ce = mask1.mean(axis=0)
+    aux = jnp.mean(me * ce) * e * e
+
+    mask1 = mask1 * (loc1 < capacity)
+    mask2 = mask2 * (loc2 < capacity)
+    g1 = jnp.sum(gates * mask1, axis=-1)
+    g2 = jnp.sum(gates * mask2, axis=-1)
+    denom = jnp.maximum(g1 + g2, jnp.finfo(jnp.float32).eps)
+    g1, g2 = g1 / denom, g2 / denom
+
+    pos1 = jnp.sum(loc1 * mask1, axis=-1).astype(jnp.int32)
+    pos2 = jnp.sum(loc2 * mask2, axis=-1).astype(jnp.int32)
+    c1 = (g1[:, None] * mask1)[:, :, None] * \
+        jax.nn.one_hot(pos1, capacity)[:, None, :]
+    c2 = (g2[:, None] * mask2)[:, :, None] * \
+        jax.nn.one_hot(pos2, capacity)[:, None, :]
+    combine = c1 + c2
+    return combine, combine > 0, aux
+
+
 class MoeFeedForward(nn.Module):
     """Token-routed expert FFN. Single-device by default; with
     ``axis_name`` set (under shard_map over a mesh ``expert`` axis), the
@@ -136,6 +187,7 @@ class MoeFeedForward(nn.Module):
     ffn_dim: int
     num_experts: int
     capacity_factor: float = 1.0
+    gate_type: str = "top1"         # "top1" | "top2" (Top2Gate)
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -145,10 +197,15 @@ class MoeFeedForward(nn.Module):
         s = b * l
         tokens = x.reshape(s, d)
         e = self.num_experts
-        capacity = max(1, int(self.capacity_factor * s / e))
         logits = nn.Dense(e, use_bias=False, dtype=jnp.float32,
                           name="gate")(tokens.astype(jnp.float32))
-        combine, dispatch, aux = top1_gating(logits, capacity)
+        if self.gate_type == "top2":
+            capacity = max(1, int(self.capacity_factor * 2 * s / e))
+            rng = None if deterministic else self.make_rng("dropout")
+            combine, dispatch, aux = top2_gating(logits, capacity, rng)
+        else:
+            capacity = max(1, int(self.capacity_factor * s / e))
+            combine, dispatch, aux = top1_gating(logits, capacity)
 
         # (E, C, D) expert inputs
         expert_in = jnp.einsum("sec,sd->ecd", dispatch.astype(x.dtype),

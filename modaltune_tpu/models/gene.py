@@ -124,15 +124,15 @@ class GeneMixerEncoder(nn.Module):
 
         # --- MLP-Mixer (gene_encoder.py:139-157)
         for i in range(c.depth):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"mix{i}_token_norm")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"mix{i}_token_norm")(x)
             x = x + TokenFeedForward(n_tokens, c.expansion_groups, c.dropout,
                                      dtype=self.dtype,
                                      name=f"mix{i}_token")(h, deterministic)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"mix{i}_chan_norm")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"mix{i}_chan_norm")(x)
             x = x + ChannelFeedForward(latent, c.expansion_dim, c.dropout,
                                        dtype=self.dtype,
                                        name=f"mix{i}_chan")(h, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="mixer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mixer_norm")(x)
         x = nn.Dense(c.output_dim, dtype=self.dtype, kernel_init=_trunc02(),
                      name="mixer_out")(x)
 
@@ -178,7 +178,7 @@ class GeneOnlyModel(nn.Module):
         # mean over gene tokens, fp32 norm + head
         # (gene_encoder.py:218-219)
         h = jnp.mean(x.astype(jnp.float32), axis=1)
-        h = nn.LayerNorm(name="final_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="final_norm")(h)
         w = self.param("classifier_kernel", _trunc02(),
                        (h.shape[-1], self.n_classes))
         b = self.param("classifier_bias", nn.initializers.zeros,

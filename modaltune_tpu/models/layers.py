@@ -131,8 +131,8 @@ class CrossAttentionLayer(nn.Module):
                  deterministic: bool = True):
         inner = int(self.d_model * self.cffn_ratio) if self.with_cffn \
             else self.d_model
-        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm")(tgt)
-        mem = nn.LayerNorm(dtype=self.dtype, name="norm_kq")(memory)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt)
+        mem = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_kq")(memory)
         xavier = nn.initializers.xavier_uniform()
         q_in = tgt2 if query_pos is None else tgt2 + query_pos
         if self.with_cffn:
@@ -165,7 +165,7 @@ class SelfAttentionLayer(nn.Module):
     def __call__(self, tgt, query_pos=None, deterministic: bool = True):
         inner = int(self.d_model * self.cffn_ratio) if self.with_cffn \
             else self.d_model
-        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm")(tgt)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt)
         xavier = nn.initializers.xavier_uniform()
         qk = tgt2 if query_pos is None else tgt2 + query_pos
         q_in = qk
@@ -194,7 +194,7 @@ class FFNLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, deterministic: bool = True):
         xavier = nn.initializers.xavier_uniform()
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(tgt)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt)
         x = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      name="linear1", kernel_init=xavier)(x)
         x = nn.relu(x)

@@ -122,13 +122,30 @@ class ScannedLongNetLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, rate, mask, deterministic: bool):
+    def __call__(self, x, rate, mask, deterministic: bool,
+                 context=None):
         c = self.cfg
         residual = x
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
                          name="self_attn_layer_norm")(x)
-        h = DilatedSelfAttention(c, dtype=self.dtype, name="self_attn")(
-            h, mask, deterministic)
+        if c.lora_adapter:
+            # per-modality LoRA encoder variant (LongNet.py:85-177):
+            # gene/task pooled context vectors come from the caller,
+            # defaulting to zeros (= plain dilated attention at init,
+            # since LoRA B matrices start at zero)
+            from .extras import LoraDilatedSelfAttention
+            if context is None:
+                z = jnp.zeros((x.shape[0], 1, c.embed_dim), x.dtype)
+                context = (z, z)
+            h = LoraDilatedSelfAttention(
+                c, lora_alpha=c.lora_alpha, img_rank=c.img_lora_dim,
+                mm_rank=c.mm_lora_dim, lora_dropout=c.lora_dropout,
+                dtype=self.dtype, name="self_attn")(
+                h, context[0], context[1], mask, deterministic)
+        else:
+            h = DilatedSelfAttention(c, dtype=self.dtype,
+                                     name="self_attn")(
+                h, mask, deterministic)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         if not deterministic and c.drop_path_rate > 0:
             h = _traced_drop_path(h, rate, self.make_rng("dropout"),
@@ -183,7 +200,7 @@ class LongNetEncoderLayer(nn.Module):
         else:
             rate = 0.0
         x, _ = ScannedLongNetLayer(c, dtype=self.dtype, name="layer")(
-            x, jnp.float32(rate), mask, deterministic)
+            x, jnp.float32(rate), mask, deterministic, None)
         return x
 
 
@@ -225,7 +242,8 @@ class LongNetEncoder(nn.Module):
 
         body = ScannedLongNetLayer
         if c.remat:
-            # static_argnums counts self: (self, x, rate, mask, det) -> 4
+            # static_argnums counts self: (self, x, rate, mask, det,
+            # context) -> det is 4
             body = nn.remat(body, static_argnums=(4,), prevent_cse=False,
                             policy=remat_policy(c.remat_policy))
         mods = []
@@ -234,7 +252,7 @@ class LongNetEncoder(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast, nn.broadcast),
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=b - a)
             mods.append(span_cls(c, dtype=self.dtype, name=f"span_{k}"))
         self.span_modules = mods
@@ -268,7 +286,7 @@ class LongNetEncoder(nn.Module):
 
     def run_layers(self, x, lo: int, hi: int,
                    mask: Optional[jax.Array] = None,
-                   deterministic: bool = True):
+                   deterministic: bool = True, context=None):
         try:
             k = self._span_bounds.index((lo, hi))
         except ValueError as e:
@@ -276,7 +294,8 @@ class LongNetEncoder(nn.Module):
                 f"run_layers({lo},{hi}) must match a configured span "
                 f"{self._span_bounds}") from e
         rates = jnp.asarray(self._rates[lo:hi], jnp.float32)
-        x, _ = self.span_modules[k](x, rates, mask, deterministic)
+        x, _ = self.span_modules[k](x, rates, mask, deterministic,
+                                    context)
         return x
 
     def finalize(self, x):

@@ -93,7 +93,7 @@ class ModalTuneModel(nn.Module):
             self.task_dense = nn.Dense(
                 d, dtype=self.dtype,
                 kernel_init=nn.initializers.normal(0.02), name="task_dense")
-            self.task_norm = nn.LayerNorm(dtype=self.dtype, name="task_norm")
+            self.task_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="task_norm")
             n_modal += 1
         if a.with_clinical:
             self.clinical_fc1 = nn.Dense(
@@ -104,7 +104,7 @@ class ModalTuneModel(nn.Module):
                 d, dtype=self.dtype,
                 kernel_init=nn.initializers.normal(0.02),
                 name="clinical_fc2")
-            self.clinical_norm = nn.LayerNorm(dtype=self.dtype,
+            self.clinical_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                               name="clinical_norm")
             n_modal += 1
         self.n_modal = n_modal
@@ -114,7 +114,7 @@ class ModalTuneModel(nn.Module):
         n_cat = {"sum": 1}.get(a.token_agg)
         if n_cat is None:  # "cat"
             n_cat = 2 + int(a.is_multi) + int(a.with_clinical)
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")
         self.final_project = nn.Dense(
             a.output_dim, dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.02), name="final_project")

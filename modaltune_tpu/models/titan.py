@@ -369,7 +369,7 @@ class TitanModalTuneModel(nn.Module):
             self.task_dense = nn.Dense(
                 d, dtype=self.dtype,
                 kernel_init=nn.initializers.normal(0.02), name="task_dense")
-            self.task_norm = nn.LayerNorm(dtype=self.dtype,
+            self.task_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                           name="task_norm")
             n_modal += 1
         if a.with_clinical:
@@ -381,13 +381,13 @@ class TitanModalTuneModel(nn.Module):
                 d, dtype=self.dtype,
                 kernel_init=nn.initializers.normal(0.02),
                 name="clinical_fc2")
-            self.clinical_norm = nn.LayerNorm(dtype=self.dtype,
+            self.clinical_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                               name="clinical_norm")
             n_modal += 1
         self.n_modal = n_modal
         self.gene_pe = self.param("gene_pe", nn.initializers.normal(0.02),
                                   (n_modal, d))
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")
         self.final_project = nn.Dense(
             a.output_dim, dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.02), name="final_project")

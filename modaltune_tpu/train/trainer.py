@@ -69,7 +69,8 @@ class ModalTuneTrainer:
                  out_dir: str, buckets: Sequence[int] = (4096, 8192, 16384,
                                                          25600),
                  batch_size: int = 1, model_cfg: Optional[
-                     ModalTuneConfig] = None, mesh=None):
+                     ModalTuneConfig] = None, mesh=None,
+                 process_shard=None):
         self.model = model
         self.cfg = cfg
         self.datasets = datasets
@@ -85,16 +86,22 @@ class ModalTuneTrainer:
             "buckets": list(buckets),
         })
 
+        # multi-host DP: each process iterates a disjoint case-modulo
+        # shard (parallel/multihost.py) while dataset metadata stays
+        # global; eval embeddings are re-assembled by the allgather in
+        # extract_embeddings
+        self.process_shard = process_shard
         self.train_loader = BucketedLoader(
             datasets["train"], buckets=self.buckets,
             batch_size=batch_size, shuffle=True, seed=cfg.seed,
             # async H2D overlap; under a mesh the sharded step owns
             # placement, so leave batches on host there
-            device_prefetch=(mesh is None))
+            device_prefetch=(mesh is None),
+            process_shard=process_shard)
         self.eval_loaders = {
             k: BucketedLoader(datasets[k], buckets=self.buckets,
                               batch_size=batch_size, shuffle=False,
-                              seed=cfg.seed)
+                              seed=cfg.seed, process_shard=process_shard)
             for k in ("train", "val", "test") if k in datasets}
 
         # frozen random text projector (train_modaltune.py:113-116)
@@ -162,13 +169,20 @@ class ModalTuneTrainer:
         """-> (embeddings (N, T, D) fp32, metadata rows). The in-loop
         readout uses task-0 embeddings only, like
         ``LogisticRegression_train`` (train_modaltune.py:329-376)."""
-        embs, meta = [], []
+        embs, ids = [], []
         by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
         for batch in loader:
             out = self._embed_step(self.state, _device_batch(batch))
             embs.append(np.asarray(out, np.float32))
-            meta.extend(by_case[c] for c in batch.case_ids)
+            ids.extend(batch.case_ids)
         x = np.concatenate(embs) if embs else np.zeros((0, 3, 1))
+        if self.process_shard is not None:
+            # re-assemble the per-process shards (uneven-count gather:
+            # the DDP Join + gather_object equivalent,
+            # base_trainer.py:379-421)
+            from ..parallel.multihost import allgather_embeddings
+            x, ids = allgather_embeddings(x, ids)
+        meta = [by_case[c] for c in ids]
         if task0_only:
             x = x[:, :1]
         return x, meta

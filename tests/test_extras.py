@@ -128,3 +128,107 @@ def test_relative_position_bias():
     # same relative offset -> same bias (Toeplitz structure)
     np.testing.assert_allclose(b[0, 0, 1], b[0, 1, 2])
     np.testing.assert_allclose(b[0, 2, 0], b[0, 3, 1])
+
+
+# ---------------------------------------------------------------------------
+# Top-2 gating (xmoe/routing.py:258-448)
+# ---------------------------------------------------------------------------
+
+
+def _np_top2_oracle(logits, capacity):
+    """Literal numpy transcription of the reference top2gating with
+    second_expert_policy deterministic and post-drop normalization."""
+    s, e = logits.shape
+    gates = np.exp(logits - logits.max(-1, keepdims=True))
+    gates = gates / gates.sum(-1, keepdims=True)
+    idx1 = gates.argmax(-1)
+    mask1 = np.eye(e)[idx1]
+    noisy = np.where(mask1 > 0, -np.inf, logits)
+    idx2 = noisy.argmax(-1)
+    mask2 = np.eye(e)[idx2]
+    loc1 = np.cumsum(mask1, 0) * mask1 - mask1
+    loc2 = np.cumsum(mask2, 0) * mask2 - mask2 + mask1.sum(0)
+    aux = np.mean(gates.mean(0) * mask1.mean(0)) * e * e
+    mask1 = mask1 * (loc1 < capacity)
+    mask2 = mask2 * (loc2 < capacity)
+    g1 = (gates * mask1).sum(-1)
+    g2 = (gates * mask2).sum(-1)
+    denom = np.maximum(g1 + g2, np.finfo(np.float32).eps)
+    g1, g2 = g1 / denom, g2 / denom
+    pos1 = (loc1 * mask1).sum(-1).astype(int)
+    pos2 = (loc2 * mask2).sum(-1).astype(int)
+    combine = np.zeros((s, e, capacity))
+    for i in range(s):
+        if mask1[i].any():
+            combine[i, idx1[i], pos1[i]] += g1[i]
+        if mask2[i].any():
+            combine[i, idx2[i], pos2[i]] += g2[i]
+    return combine, aux
+
+
+def test_top2_gating_matches_numpy_oracle():
+    from modaltune_tpu.models.extras import top2_gating
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(37, 4).astype(np.float32) * 2)
+    cap = 2 * ((37 + 3) // 4)
+    combine, dispatch, aux = top2_gating(logits, cap)
+    want, want_aux = _np_top2_oracle(np.asarray(logits), cap)
+    np.testing.assert_allclose(np.asarray(combine), want, atol=1e-5)
+    np.testing.assert_allclose(float(aux), want_aux, atol=1e-6)
+    # every kept token dispatches to <= 2 experts, weights sum to 1
+    w = np.asarray(combine).sum((1, 2))
+    kept = w > 0
+    np.testing.assert_allclose(w[kept], 1.0, atol=1e-5)
+    assert np.asarray(dispatch).sum(axis=(1, 2)).max() <= 2
+
+
+def test_moe_top2_forward():
+    from modaltune_tpu.models.extras import MoeFeedForward
+    m = MoeFeedForward(dim=16, ffn_dim=32, num_experts=4,
+                       gate_type="top2")
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 16),
+                    jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out, aux = m.apply({"params": params}, x)
+    assert out.shape == x.shape and np.isfinite(float(aux))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# LoRA encoder wiring (LongNetConfig.lora_adapter)
+# ---------------------------------------------------------------------------
+
+
+def test_lora_encoder_config_wiring():
+    """`lora_adapter=True` builds LoraDilatedSelfAttention layers inside
+    the encoder (slide_encoder.py:101 / LongNet.py:85-177 equivalent);
+    with zero-init B matrices the forward equals the base projections'
+    output, and LoRA params receive gradients."""
+    import dataclasses
+    from modaltune_tpu.configs import LongNetConfig
+    from modaltune_tpu.models.longnet import LongNetEncoder
+    cfg = LongNetConfig(num_layers=2, embed_dim=32, ffn_dim=64,
+                        num_heads=4, segment_lengths=(16,),
+                        dilated_ratios=(1,), dropout=0.0,
+                        drop_path_rate=0.0, remat=False,
+                        lora_adapter=True)
+    enc = LongNetEncoder(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32),
+                    jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    lora_keys = [jax.tree_util.keystr(k) for k, _ in flat
+                 if "lora" in jax.tree_util.keystr(k)]
+    assert any("lora_A_gene" in k for k in lora_keys), lora_keys[:5]
+    assert any("lora_B_task" in k for k in lora_keys)
+
+    out = enc.apply({"params": params}, x)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    def loss(p):
+        return jnp.sum(enc.apply({"params": p}, x) ** 2)
+    grads = jax.grad(loss)(params)
+    # at init B == 0, so dL/dA == 0 exactly; B receives signal
+    gb = [g for k, g in jax.tree_util.tree_leaves_with_path(grads)
+          if "lora_B_img" in jax.tree_util.keystr(k)]
+    assert gb and any(float(jnp.abs(g).sum()) > 0 for g in gb)

@@ -1,0 +1,79 @@
+"""Multi-host DP: process sharding, uneven eval gather, 2-process run.
+
+The reference's multi-node story is SLURM/env-bootstrapped DDP with
+rank-0 ``gather_object`` (``base_trainer.py:160-203,379-421``). These
+tests cover the rebuilt equivalents, including a REAL two-process CPU
+run through ``jax.distributed`` (the JAX-native stand-in for a
+multi-node cluster).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from modaltune_tpu.parallel.multihost import (allgather_embeddings,
+                                              init_distributed,
+                                              process_datalist)
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_process_datalist_disjoint_cover():
+    items = list(range(11))
+    shards = [process_datalist(items, p, 3) for p in range(3)]
+    flat = sorted(sum(shards, []))
+    assert flat == items
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_single_process_passthrough():
+    assert init_distributed() == (0, 1)
+    x = np.arange(6, dtype=np.float32).reshape(3, 2)
+    out, ids = allgather_embeddings(x, ["a", "b", "c"])
+    np.testing.assert_array_equal(out, x)
+    assert ids == ["a", "b", "c"]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cpu_gather():
+    """Spawn two real processes, initialize jax.distributed over
+    loopback, and run the uneven-count embedding gather."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(ROOT / "tests" / "_mh_worker.py"),
+         str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed CPU 2-process run timed out in "
+                    "this environment")
+    if any(p.returncode for p in procs):
+        joined = "\n---\n".join(outs)
+        if "UNIMPLEMENTED" in joined or "not supported" in joined.lower():
+            pytest.skip("cross-process CPU collectives unsupported here:"
+                        f" {joined[-400:]}")
+        raise AssertionError(joined[-2000:])
+    assert "WORKER0 OK" in outs[0]
+    assert "WORKER1 OK" in outs[1]

@@ -61,6 +61,27 @@ def _stub_modules():
     sys.modules.update({"fairscale": fairscale,
                         "fairscale.nn": fairscale_nn})
 
+    # models/aggregators/__init__ imports titan_adapter, which
+    # dynamically imports the (absent) TITAN HF snapshot module and
+    # subclasses its VisionTransformer (titan_adapter.py:30-37)
+    import torch.nn as nn
+    snap = "b2fb4f475256eb67c6e9ccbf2d6c9c3f25f20791"
+    mod = types.ModuleType(snap)
+    vt = types.ModuleType(f"{snap}.vision_transformer")
+
+    class _StubViT(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    vt.VisionTransformer = _StubViT
+    ct = types.ModuleType(f"{snap}.configuration_titan")
+    ct.TitanConfig = type("TitanConfig", (), {})
+    mod.vision_transformer = vt
+    mod.configuration_titan = ct
+    sys.modules.update({snap: mod,
+                        f"{snap}.vision_transformer": vt,
+                        f"{snap}.configuration_titan": ct})
+
 
 def dense_flash_attn_func(q, k, v, dropout=0.0, bias=None,
                           softmax_scale=None, is_causal=False):

@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the train split")
     # synthetic smoke mode (no external data needed)
     p.add_argument("--synthetic", default=0, type=int)
+    p.add_argument("--distributed", default=0, type=int,
+                   help="bootstrap jax.distributed from SLURM/torchrun "
+                        "env for multi-host data parallelism")
     return p
 
 
@@ -212,8 +215,18 @@ def run_one_seed(args):
     buckets = tuple(int(b) for b in args.buckets.split(","))
     out_dir = Path(args.output_path) / f"seed_{args.seed}"
     cls = PanCancerTrainer if args.pancancer else ModalTuneTrainer
+    # multi-host DP: SLURM/torchrun env (or --distributed) bootstraps the
+    # jax distributed runtime; each process trains on a disjoint
+    # case-modulo shard and eval embeddings are re-gathered
+    # (parallel/multihost.py — base_trainer.py:160-203 equivalent)
+    shard = None
+    if args.distributed:
+        from modaltune_tpu.parallel.multihost import init_distributed
+        pid, nproc = init_distributed()
+        if nproc > 1:
+            shard = (pid, nproc)
     trainer = cls(model, tcfg, datasets, str(out_dir), buckets=buckets,
-                  batch_size=args.batch_size)
+                  batch_size=args.batch_size, process_shard=shard)
 
     # init params on a small example
     rng = np.random.RandomState(0)
