@@ -32,7 +32,35 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_TORCH_EST_SLIDES_PER_SEC = 1.0  # documented estimate, see docstring
+V5E_PEAK_BF16_FLOPS = 197e12         # per-chip bf16 peak (v5 lite)
 BAG = 10239  # bag + cls = 10240: segment-aligned (see data.DEFAULT_BUCKETS)
+
+
+def model_flops_per_step(cfg, bag: int, n_tasks: int = 3) -> float:
+    """Analytic matmul-FLOP count for one train step (fwd + bwd ~ 3x
+    fwd; elementwise/softmax excluded). Covers the dominant terms:
+    backbone attention branches, qkv/out projections, FFNs, patch embed;
+    the adapter/gene branch adds <2% and is approximated by its
+    interaction cross-attentions."""
+    ln = cfg.backbone.longnet()
+    S = bag + 1
+    B = n_tasks                      # tasks are batched (bs=1 slides)
+    d, ffn, L, H = (ln.embed_dim, ln.ffn_dim, ln.num_layers,
+                    ln.num_heads)
+    dh = d // H
+    attn = 0.0
+    for w, r in zip(ln.segment_lengths, ln.dilated_ratios):
+        w = min(int(w), S)
+        nseg = -(-S // w)
+        wr = w // int(r)
+        attn += nseg * (wr * wr * dh * 2) * 2 * H   # QK^T + PV
+    per_layer = attn + 4 * S * d * d * 2 + 2 * S * d * ffn * 2
+    fwd = B * (L * per_layer + S * cfg.backbone.in_chans * d * 2)
+    # interaction blocks: 3 rounds of injector+extractor cross-attn at
+    # cffn-compressed width over S keys/queries
+    inner = int(d * cfg.adapter.cffn_ratio)
+    fwd += B * 6 * (2 * S * inner * 65 * 2 + 2 * S * d * inner * 2)
+    return 3.0 * fwd
 WARMUP = 2
 ITERS_A = 4
 ITERS_B = 16
@@ -103,6 +131,8 @@ def main():
 
     slides_per_sec = 1.0 / dt
     loss = loss_v
+    flops = model_flops_per_step(cfg, BAG)
+    mfu = flops / dt / V5E_PEAK_BF16_FLOPS
     print(json.dumps({
         "metric": "modaltune_gigapath_train_slides_per_sec_per_chip",
         "value": round(slides_per_sec, 4),
@@ -114,6 +144,8 @@ def main():
         "loss": float(loss),
         "backend": jax.default_backend(),
         "step_ms": round(1000 * dt, 1),
+        "flops_per_step": round(flops / 1e9, 1),
+        "mfu": round(mfu, 4),
     }))
 
 

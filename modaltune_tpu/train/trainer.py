@@ -135,8 +135,10 @@ class ModalTuneTrainer:
                                                   self.mesh)
         else:
             self._train_step = make_train_step(self.model, self.cfg)
-        self._eval_step = make_eval_step(self.model, self.cfg)
-        self._embed_step = make_embed_step(self.model, self.cfg)
+        self._eval_step = make_eval_step(self.model, self.cfg,
+                                         mesh=self.mesh)
+        self._embed_step = make_embed_step(self.model, self.cfg,
+                                           mesh=self.mesh)
         self._step_rng = jax.random.PRNGKey(self.cfg.seed)
         return self.state
 

