@@ -71,7 +71,7 @@ except ImportError:  # pragma: no cover
 # budget. The VMEM ceiling is raised via CompilerParams (v5e has far
 # more physical VMEM than the 16MB default scoped budget).
 _FWD_SCORE_BUDGET = 6 * 1024 * 1024
-_BWD_SCORE_BUDGET = 3 * 1024 * 1024
+_BWD_SCORE_BUDGET = 6 * 1024 * 1024
 _MAX_BQ = 512
 
 
