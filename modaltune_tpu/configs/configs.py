@@ -304,3 +304,67 @@ def tiny_test_config(depth: int = 2, embed_dim: int = 128,
     gene = GeneEncoderConfig(latent_dim=32, depth=2, final_groups=8,
                              output_dim=embed_dim, dropout=0.0)
     return ModalTuneConfig(backbone=backbone, adapter=adapter, gene=gene)
+
+
+# ---------------------------------------------------------------------------
+# Named LongNet architecture table
+# ---------------------------------------------------------------------------
+
+# (layers, dim, ffn, heads, mlp_suffix) per named entry of the reference
+# table ``torchscale/model/LongNetConfig.py`` (SURVEY.md §2.3). Vanilla
+# variants run a single full-attention branch (segment >> any WSI bag,
+# ratio 1 — ``LongNetConfig.py:276-319``).
+_LONGNET_ARCHS = {
+    "LongNet_12_layers_1536_dim": (12, 1536, 6144, 16),
+    "LongNet_12_layers_256_dim": (12, 256, 1024, 16),
+    "LongNet_12_layers_256_dim_mlp2": (12, 256, 512, 16),
+    "LongNet_12_layers_384_dim": (12, 384, 1536, 16),
+    "LongNet_12_layers_512_dim": (12, 512, 1024, 8),
+    "LongNet_12_layers_768_dim": (12, 768, 3072, 16),
+    "LongNet_24_layers_1024_dim": (24, 1024, 4096, 16),
+    "LongNet_3_layers_1536_dim": (3, 1536, 6144, 16),
+    "LongNet_3_layers_384_dim": (3, 384, 1536, 16),
+    "LongNet_3_layers_768_dim": (3, 768, 3072, 16),
+    "LongNet_6_layers_1536_dim": (6, 1536, 6144, 16),
+    "LongNet_6_layers_384_dim": (6, 384, 1536, 16),
+    "LongNet_6_layers_768_dim": (6, 768, 3072, 16),
+    "LongNet_8_layers_1024_dim": (8, 1024, 4096, 16),
+    "LongNet_8_layers_1536_dim": (8, 1536, 6144, 16),
+    "LongNet_8_layers_256_dim": (8, 256, 1024, 16),
+    "LongNet_8_layers_256_dim_mlp2": (8, 256, 512, 16),
+    "LongNet_8_layers_768_dim": (8, 768, 3072, 16),
+    "LongNet_Vanilla_12_layers_256_dim": (12, 256, 512, 8),
+    "LongNet_Vanilla_6_layers_1536_dim": (6, 1536, 6144, 16),
+    "LongNet_Vanilla_6_layers_768_dim": (6, 768, 3072, 16),
+    "LongNet_test": (1, 192, 192, 8),
+}
+
+
+def longnet_config_by_name(name: str,
+                           segment_lengths=None,
+                           dilated_ratios=None,
+                           dropout: float = 0.1,
+                           drop_path_rate: float = 0.1,
+                           **overrides) -> "LongNetConfig":
+    """Build a :class:`LongNetConfig` from a reference table name — the
+    equivalent of ``make_longnet_from_name``
+    (``torchscale/model/LongNet.py:196-249``), which looks the name up
+    in the arch table and overlays segment/ratio/dropout arguments.
+    """
+    if name not in _LONGNET_ARCHS:
+        raise KeyError(
+            f"unknown LongNet arch {name!r}; known: "
+            f"{sorted(_LONGNET_ARCHS)}")
+    layers, dim, ffn, heads = _LONGNET_ARCHS[name]
+    if "Vanilla" in name:
+        segment_lengths = segment_lengths or (10_000_000,)
+        dilated_ratios = dilated_ratios or (1,)
+    else:
+        segment_lengths = segment_lengths or optimal_segment_lengths()
+        dilated_ratios = dilated_ratios or (1, 2, 4, 8, 16)
+    base = dict(num_layers=layers, embed_dim=dim, ffn_dim=ffn,
+                num_heads=heads, segment_lengths=tuple(segment_lengths),
+                dilated_ratios=tuple(dilated_ratios), dropout=dropout,
+                drop_path_rate=drop_path_rate)
+    base.update(overrides)
+    return LongNetConfig(**base)

@@ -127,3 +127,34 @@ def array_slide_reader(slide: np.ndarray) -> Callable:
                           constant_values=255)
         return tile
     return read_region
+
+
+def extract_slide_features_titan(read_region, mask: np.ndarray,
+                                 mask_downsample: int,
+                                 patch_encoder, slide_encoder=None,
+                                 tile_size: int = 512,
+                                 batch_size: int = 64,
+                                 min_foreground: float = 0.5,
+                                 output_npz: Optional[str] = None) -> dict:
+    """TITAN-specific extraction driver
+    (``data_utils/TCGA_extract_feats_TITAN.py``): 512-px tiles at 0.5
+    MPP through a CONCH v1.5 patch encoder (pluggable — the weights are
+    gated externally), optionally followed by the TITAN slide encoder
+    for a whole-slide embedding. The reference runs the slide encoder
+    under bf16 autocast (``TCGA_extract_feats_TITAN.py:111-118``); pass
+    a ``slide_encoder`` that casts internally for the same behavior
+    (our ``TitanViT`` with ``dtype=jnp.bfloat16``).
+
+    Returns ``{"features": (N, D), "coords": (N, 2)[, "slide_embedding"
+    : (D,)]}`` — the ``_titan`` feature-bag cache format.
+    """
+    bag = extract_slide_features(
+        read_region, mask, mask_downsample, patch_encoder,
+        tile_size=tile_size, batch_size=batch_size,
+        min_foreground=min_foreground)
+    if slide_encoder is not None:
+        bag["slide_embedding"] = np.asarray(
+            slide_encoder(bag["features"], bag["coords"]), np.float32)
+    if output_npz:
+        np.savez(output_npz, **bag)
+    return bag

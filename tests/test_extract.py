@@ -55,3 +55,33 @@ def test_extract_features_end_to_end(tmp_path):
     from modaltune_tpu.data import load_feature_bag
     f, c = load_feature_bag(str(tmp_path / "s1.npz"))
     assert f.shape == (4, 3) and c.shape == (4, 2)
+
+
+def test_titan_extraction_driver():
+    """TITAN-specific driver (TCGA_extract_feats_TITAN.py): 512-px
+    tiles, pluggable CONCH patch encoder, optional slide embedding."""
+    from modaltune_tpu.data.extract import (array_slide_reader,
+                                            extract_slide_features_titan,
+                                            tissue_mask)
+    rng = np.random.RandomState(0)
+    slide = np.full((2048, 2048, 3), 255, np.uint8)
+    slide[:1024, :1024] = rng.randint(30, 120, (1024, 1024, 3))
+    thumb = slide[::16, ::16]
+    mask = tissue_mask(thumb)
+
+    def patch_encoder(tiles):
+        return tiles.reshape(tiles.shape[0], -1)[:, :8].astype(
+            np.float32) / 255.0
+
+    def slide_encoder(feats, coords):
+        return feats.mean(0)
+
+    bag = extract_slide_features_titan(
+        array_slide_reader(slide), mask, 16,
+        patch_encoder, slide_encoder=slide_encoder)
+    assert bag["features"].shape[1] == 8
+    assert bag["coords"].shape == (bag["features"].shape[0], 2)
+    assert bag["slide_embedding"].shape == (8,)
+    # 512-px grid: coords are multiples of 512 inside the tissue square
+    assert np.all(bag["coords"] % 512 == 0)
+    assert bag["coords"].max() < 1024

@@ -190,3 +190,19 @@ def test_adapter_logit_parity(ref_env, bag):
     got = np.asarray(got, np.float32)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+
+
+def test_longnet_arch_table_matches_reference(ref_env):
+    """Every named entry of the rebuilt arch table matches the
+    reference's ``LongNetConfig.py`` dicts field-for-field."""
+    import torchscale.model.LongNetConfig as ref_tab
+    from modaltune_tpu.configs.configs import (_LONGNET_ARCHS,
+                                               longnet_config_by_name)
+    for name, (layers, dim, ffn, heads) in _LONGNET_ARCHS.items():
+        ref = getattr(ref_tab, name)
+        assert ref["encoder_layers"] == layers, name
+        assert ref["encoder_embed_dim"] == dim, name
+        assert ref["encoder_ffn_embed_dim"] == ffn, name
+        assert ref["encoder_attention_heads"] == heads, name
+        cfg = longnet_config_by_name(name)
+        assert cfg.num_layers == layers and cfg.embed_dim == dim
