@@ -83,3 +83,37 @@ def load_params_npz(path: str) -> dict:
             v = v.astype(np.dtype(dtypes[k]))
         flat[k] = v
     return unflatten_params(flat)
+
+
+def apply_bert_init(params, rng, std: float = 0.02):
+    """BERT-style re-initialization of an existing param tree — the
+    ``init_bert_params`` hook (``torchscale/architecture/utils.py:10-33``,
+    applied when ``EncoderConfig.bert_init`` is set; every shipped
+    LongNet config leaves it False): Linear/attention-projection kernels
+    and embeddings get N(0, std), biases zero. LayerNorm scales/biases
+    are left untouched, matching the reference (it only handles Linear/
+    Embedding/MultiheadAttention modules).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    keys = jax.random.split(rng, max(1, len(leaves)))
+    linear_parents = {
+        jax.tree_util.keystr(p[:-1])
+        for p, _ in leaves
+        if jax.tree_util.keystr(p).endswith("['kernel']")}
+    flat = {}
+    for (path, leaf), key in zip(leaves, keys):
+        name = jax.tree_util.keystr(path)
+        parent = jax.tree_util.keystr(path[:-1])
+        if name.endswith("['kernel']"):
+            flat[name] = (jax.random.normal(key, leaf.shape) *
+                          std).astype(leaf.dtype)
+        elif name.endswith("['bias']") and parent in linear_parents:
+            # only Linear biases; LayerNorm params are untouched
+            flat[name] = jnp.zeros_like(leaf)
+        else:
+            flat[name] = leaf
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: flat[jax.tree_util.keystr(p)], params)

@@ -120,3 +120,21 @@ def test_converted_backbone_plugs_into_modaltune(tiny_setup):
                       task_token=jnp.eye(3)[:1])
     assert out.shape == (1, cfg.adapter.output_dim)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_apply_bert_init():
+    """init_bert_params hook (torchscale/architecture/utils.py:10-33):
+    kernels N(0, .02), Linear biases zero, LayerNorm untouched."""
+    import jax
+    import jax.numpy as jnp
+    from modaltune_tpu.utils.params_io import apply_bert_init
+    params = {
+        "dense": {"kernel": jnp.ones((64, 64)), "bias": jnp.ones(64)},
+        "ln": {"scale": jnp.full((8,), 2.0), "bias": jnp.ones(8)},
+    }
+    out = apply_bert_init(params, jax.random.PRNGKey(0))
+    k = np.asarray(out["dense"]["kernel"])
+    assert abs(k.std() - 0.02) < 0.005 and abs(k.mean()) < 0.005
+    assert np.all(np.asarray(out["dense"]["bias"]) == 0)
+    assert np.all(np.asarray(out["ln"]["scale"]) == 2.0)
+    assert np.all(np.asarray(out["ln"]["bias"]) == 1.0)
