@@ -750,14 +750,13 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                                jnp.exp(lse_i - m_i) / zsafe, 0.0)
                 do = dmix_i * wm                              # (rows,D)
                 pb = p.astype(v.dtype)
-                out_i = jax.lax.dot_general(
-                    pb, v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                delta = jnp.sum(do * out_i, axis=-1, keepdims=True)
                 dob = do.astype(v.dtype)
                 dp = jax.lax.dot_general(
                     dob, v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                # delta = rowsum(do . out) = rowsum(p . dp) since the
+                # full dp row is in hand -- saves recomputing out = p v
+                delta = jnp.sum(p * dp, axis=-1, keepdims=True)
                 ds = p * (dp - delta)
                 dsb = ds.astype(k.dtype)
                 dq_i = jax.lax.dot_general(
