@@ -270,6 +270,10 @@ class TrainConfig:
     threshold: int = 25000           # max patches per bag
     seed: int = 0
     eval_interval: int = 1
+    # gradient accumulation: the reference PARSES --gc but never uses it
+    # (train_modaltune.py:619, SURVEY.md §7 quirks) — here it is honored
+    # (optax.MultiSteps), implementing the intended behavior
+    grad_accum: int = 1
     # reference quirk: train_modaltune.py:196-197 caps every epoch at 6
     # iterations. Off by default; enable for strict parity runs.
     reference_quirks: bool = False

@@ -65,8 +65,14 @@ def warmup_cosine_epoch_schedule(cfg: TrainConfig,
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
                    ) -> optax.GradientTransformation:
     schedule = warmup_cosine_epoch_schedule(cfg, steps_per_epoch)
-    return optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
-                       weight_decay=cfg.weight_decay)
+    tx = optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                     weight_decay=cfg.weight_decay)
+    if cfg.grad_accum > 1:
+        # the reference parses --gc but never applies it
+        # (train_modaltune.py:619); honoring it is the documented
+        # intended-behavior choice (SURVEY.md §7)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 class TrainState(struct.PyTreeNode):

@@ -75,3 +75,31 @@ def test_checkpoint_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state.trainable),
                     jax.tree_util.tree_leaves(trainer2.state.trainable)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_updates_every_k():
+    """TrainConfig.grad_accum honors the reference's parsed-but-unused
+    --gc flag (train_modaltune.py:619) via optax.MultiSteps: params
+    change only every k-th step and match the mean-gradient update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from modaltune_tpu.configs import TrainConfig
+    from modaltune_tpu.train.state import TrainState, make_optimizer
+
+    cfg = TrainConfig(lr=1e-2, num_epochs=2, warmup_epochs=1,
+                      grad_accum=2, weight_decay=0.0)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    params = {"w": jnp.ones(3)}
+    state = TrainState.create(params, tx)
+    g1 = {"w": jnp.asarray([1.0, 0.0, 0.0])}
+    state1 = state.apply_gradients(g1)
+    np.testing.assert_array_equal(np.asarray(state1.trainable["w"]),
+                                  np.ones(3))  # accumulating, no step
+    g2 = {"w": jnp.asarray([0.0, 1.0, 0.0])}
+    state2 = state1.apply_gradients(g2)
+    assert not np.allclose(np.asarray(state2.trainable["w"]), np.ones(3))
+    # symmetric mean gradient -> equal movement on dims 0 and 1
+    w = np.asarray(state2.trainable["w"])
+    assert abs((w[0] - 1.0) - (w[1] - 1.0)) < 1e-7
+    assert w[2] == 1.0

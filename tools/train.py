@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the train split")
     # synthetic smoke mode (no external data needed)
     p.add_argument("--synthetic", default=0, type=int)
+    p.add_argument("--gc", "--grad_accum", dest="grad_accum", default=1,
+                   type=int,
+                   help="gradient accumulation steps (the reference "
+                        "parses --gc but never uses it; here honored)")
     p.add_argument("--distributed", default=0, type=int,
                    help="bootstrap jax.distributed from SLURM/torchrun "
                         "env for multi-host data parallelism")
@@ -211,6 +215,7 @@ def run_one_seed(args):
                        eval_interval=args.eval_interval,
                        num_tasks=args.num_tasks,
                        threshold=args.threshold,
+                       grad_accum=args.grad_accum,
                        reference_quirks=bool(args.reference_quirks))
     buckets = tuple(int(b) for b in args.buckets.split(","))
     out_dir = Path(args.output_path) / f"seed_{args.seed}"
