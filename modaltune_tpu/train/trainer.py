@@ -66,8 +66,8 @@ class ModalTuneTrainer:
     """
 
     def __init__(self, model, cfg: TrainConfig, datasets: Dict,
-                 out_dir: str, buckets: Sequence[int] = (4096, 8192, 16384,
-                                                         25600),
+                 out_dir: str, buckets: Sequence[int] = (4095, 8191,
+                                                         16383, 25599),
                  batch_size: int = 1, model_cfg: Optional[
                      ModalTuneConfig] = None, mesh=None,
                  process_shard=None):

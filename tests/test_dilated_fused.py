@@ -113,3 +113,37 @@ def test_bf16_forward():
     np.testing.assert_allclose(
         np.asarray(got, np.float32) * m,
         np.asarray(want, np.float32) * m, atol=0.05, rtol=0.05)
+
+
+def test_all_training_buckets_eligible():
+    """Every DEFAULT_BUCKETS size (+cls) must take the fused path with
+    the flagship GigaPath schedule — a silent fallback would tank
+    training throughput."""
+    from modaltune_tpu.data.datasets import DEFAULT_BUCKETS
+    segs = (1024, 5792, 32768, 185363, 1048576)
+    ratios = (1, 2, 4, 8, 16)
+    for b in DEFAULT_BUCKETS:
+        assert fused_eligible(b + 1, 16, 48, segs, ratios), b
+
+
+def test_flagship_bucket_4096_matches_oracle():
+    """Oracle parity at the smallest common training bucket (S=4096,
+    where the 5792 branch clamps to 'comb' mode instead of 'crd')."""
+    S2, H2, D2 = 4096, 16, 48
+    segs = (1024, 5792, 32768, 185363, 1048576)
+    ratios = (1, 2, 4, 8, 16)
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(1, S2, H2, D2), jnp.float32)
+    k = jnp.asarray(rng.randn(1, S2, H2, D2), jnp.float32)
+    v = jnp.asarray(rng.randn(1, S2, H2, D2), jnp.float32)
+    mask = jnp.asarray((np.arange(S2) < 3900)[None])
+    want = dilated_attention(q, k, v, segment_lengths=segs,
+                             dilated_ratios=ratios, mask=mask,
+                             use_pallas=False)
+    got = fused_dilated_attention(q, k, v, segment_lengths=segs,
+                                  dilated_ratios=ratios, mask=mask,
+                                  interpret=INTERPRET)
+    m = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(got) * m,
+                               np.asarray(want) * m,
+                               atol=TOL * 3, rtol=TOL * 3)
