@@ -147,3 +147,39 @@ def test_flagship_bucket_4096_matches_oracle():
     np.testing.assert_allclose(np.asarray(got) * m,
                                np.asarray(want) * m,
                                atol=TOL * 3, rtol=TOL * 3)
+
+
+def test_edge_masks_and_bf16_grads():
+    """Degenerate masks (nearly-empty and full rows in one batch) keep
+    outputs/grads finite and matching the oracle; bf16 gradients track
+    the fp32 ones."""
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(2, S, H, D), jnp.float32)
+    lens = np.array([8, S])          # one nearly-empty bag, one full
+    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+
+    def loss(fn, x):
+        out = fn(x) * mask[:, :, None, None]
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    f_ref = lambda x: dilated_attention(
+        x, x, x, segment_lengths=SEGS, dilated_ratios=RATIOS,
+        mask=mask, use_pallas=False)
+    f_fus = lambda x: fused_dilated_attention(
+        x, x, x, segment_lengths=SEGS, dilated_ratios=RATIOS,
+        mask=mask, interpret=INTERPRET)
+    gw = jax.grad(lambda x: loss(f_ref, x))(q)
+    gg = jax.grad(lambda x: loss(f_fus, x))(q)
+    assert np.all(np.isfinite(np.asarray(gg)))
+    mm = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(gg) * mm, np.asarray(gw) * mm,
+                               atol=5e-4, rtol=5e-4)
+
+    # bf16 path: finite and within bf16 distance of fp32 grads
+    qb = q.astype(jnp.bfloat16)
+    gb = jax.grad(lambda x: loss(f_fus, x))(qb)
+    gb = np.asarray(gb, np.float32) * mm
+    assert np.all(np.isfinite(gb))
+    ref = np.asarray(gg, np.float32) * mm
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(gb - ref).max() / denom < 0.1
