@@ -115,6 +115,7 @@ class SlideEncoderConfig:
     dropout: float = 0.25
     drop_path_rate: float = 0.1
     norm_eps: float = 1e-6          # the ViT-level output LayerNorm
+    fused_attention: bool = True    # forwarded into LongNetConfig
 
     def longnet(self, **overrides) -> LongNetConfig:
         base = dict(
@@ -122,6 +123,7 @@ class SlideEncoderConfig:
             embed_dim=self.embed_dim,
             ffn_dim=int(self.embed_dim * self.mlp_ratio),
             num_heads=16,
+            fused_attention=self.fused_attention,
             segment_lengths=optimal_segment_lengths(self.max_wsi_size,
                                                     self.tile_size),
             dropout=self.dropout,

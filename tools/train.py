@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int,
                    help="gradient accumulation steps (the reference "
                         "parses --gc but never uses it; here honored)")
+    p.add_argument("--fused_attention", default=1, type=int,
+                   help="0 disables the fused Pallas dilated-attention "
+                        "path (falls back to the XLA pipeline)")
     p.add_argument("--distributed", default=0, type=int,
                    help="bootstrap jax.distributed from SLURM/torchrun "
                         "env for multi-host data parallelism")
@@ -204,6 +207,12 @@ def run_one_seed(args):
     else:
         model_cfg = gigapath_modaltune_config(clinical=clinical)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if not args.fused_attention and hasattr(model_cfg, "backbone") and \
+            hasattr(model_cfg.backbone, "fused_attention"):
+        import dataclasses as _dc
+        model_cfg = _dc.replace(
+            model_cfg, backbone=_dc.replace(model_cfg.backbone,
+                                            fused_attention=False))
     model = create_aggregator(args.mil_name, cfg=model_cfg,
                               n_gene_groups=packer.n_groups,
                               max_group_len=packer.max_group_len,
