@@ -225,6 +225,18 @@ class ModalTuneConfig:
     gene: GeneEncoderConfig = dataclasses.field(
         default_factory=GeneEncoderConfig)
 
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModalTuneConfig":
+        """Rebuild from a ``dataclasses.asdict`` dump — the eval-only /
+        OOD-deploy config round-trip (``train_modaltune.py:563-586``
+        reloads the run's saved config.json the same way)."""
+        return cls(backbone=SlideEncoderConfig(**d.get("backbone", {})),
+                   adapter=AdapterConfig(**d.get("adapter", {})),
+                   gene=GeneEncoderConfig(**d.get("gene", {})))
+
 
 @dataclasses.dataclass(frozen=True)
 class TitanModalTuneConfig:
@@ -244,10 +256,22 @@ class TitanModalTuneConfig:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
     @classmethod
-    def from_dict(cls, d: dict) -> "ModalTuneConfig":
-        return cls(backbone=SlideEncoderConfig(**d.get("backbone", {})),
+    def from_dict(cls, d: dict) -> "TitanModalTuneConfig":
+        return cls(backbone=TitanConfig(**d.get("backbone", {})),
                    adapter=AdapterConfig(**d.get("adapter", {})),
                    gene=GeneEncoderConfig(**d.get("gene", {})))
+
+
+def model_config_from_dict(d: dict):
+    """Dispatch a saved model-config dict to the right config class.
+
+    TITAN backbones are recognized by their distinctive fields
+    (``attn_pooler_queries``); everything else is a GigaPath
+    ``ModalTuneConfig``.
+    """
+    if "attn_pooler_queries" in d.get("backbone", {}):
+        return TitanModalTuneConfig.from_dict(d)
+    return ModalTuneConfig.from_dict(d)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -272,6 +296,11 @@ class TrainConfig:
     threshold: int = 25000           # max patches per bag
     seed: int = 0
     eval_interval: int = 1
+    # interval full-state checkpoints (params + optimizer) every N epochs
+    # with auto-resume at run() start; 0 disables. The reference saves
+    # weights-only ``model_weights_epoch_N.pt`` (base_trainer.py:320-340)
+    # and cannot resume optimizer state.
+    save_interval: int = 0
     # gradient accumulation: the reference PARSES --gc but never uses it
     # (train_modaltune.py:619, SURVEY.md §7 quirks) — here it is honored
     # (optax.MultiSteps), implementing the intended behavior

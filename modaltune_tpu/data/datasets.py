@@ -79,6 +79,9 @@ class Batch:
     event: np.ndarray          # (B,)
     site: np.ndarray           # (B,)
     case_ids: List[str]
+    # trailing rows that are wrap-around padding (pad_to_batch mode, for
+    # mesh-divisible batch shapes); eval paths drop them from outputs
+    pad_rows: int = 0
 
 
 def pad_bag(bag: np.ndarray, coords: np.ndarray, bucket: int
@@ -298,7 +301,7 @@ class BucketedLoader:
     def __init__(self, dataset, buckets: Sequence[int] = DEFAULT_BUCKETS,
                  batch_size: int = 1, shuffle: bool = True, seed: int = 0,
                  prefetch: int = 2, device_prefetch: bool = False,
-                 process_shard=None):
+                 process_shard=None, pad_to_batch: bool = False):
         self.dataset = dataset
         self.buckets = tuple(sorted(buckets))
         self.batch_size = batch_size
@@ -310,6 +313,10 @@ class BucketedLoader:
         # case-modulo shard while dataset.metadata() stays global — the
         # DistributedSampler equivalent (base_trainer.py:283-307)
         self.process_shard = process_shard
+        # pad partial batches to batch_size by wrapping around the epoch
+        # order (DistributedSampler-style) so mesh-sharded steps always
+        # see divisible shapes; Batch.pad_rows marks the synthetic rows
+        self.pad_to_batch = pad_to_batch
         self.epoch = 0
 
     def _to_device(self, batch: Batch) -> Batch:
@@ -339,10 +346,18 @@ class BucketedLoader:
             rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
+            pad = 0
+            if self.pad_to_batch and len(chunk) < self.batch_size:
+                pad = self.batch_size - len(chunk)
+                wrap = [order[i % len(order)] for i in range(pad)]
+                chunk = np.concatenate([chunk, np.asarray(wrap)])
             examples = [self.dataset.get(int(i), rng) for i in chunk]
             bucket = choose_bucket(max(e.bag.shape[0] for e in examples),
                                    self.buckets)
-            yield collate(examples, bucket)
+            batch = collate(examples, bucket)
+            if pad:
+                batch = dataclasses.replace(batch, pad_rows=pad)
+            yield batch
 
     def __iter__(self) -> Iterator[Batch]:
         self.epoch += 1

@@ -30,8 +30,8 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _pick_block,
-                              _round_up)
+from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _mm_precision,
+                              _pick_block, _round_up)
 
 
 def _tile_bias(cq, ck, slope):
@@ -62,7 +62,8 @@ def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
     kbias = bias_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     s = s * scale + _tile_bias(cq, ck, slope_ref[pl.program_id(0)]) + kbias
 
     m_prev = m_ref[:, :1]
@@ -74,7 +75,8 @@ def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     m_ref[:, :1] = m_new
     l_ref[:, :1] = l_new
 
@@ -108,16 +110,19 @@ def _dq_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
     delta = delta_ref[0].reshape(-1, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     s = s * scale + _tile_bias(cq, ck, slope_ref[pl.program_id(0)]) + kbias
     p = jnp.exp(s - lse)
     p = jnp.where(kbias > _MASK_THRESHOLD, p, 0.0)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     ds = p * (dp - delta)
     acc_ref[...] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype)) * scale
 
     @pl.when(kb == nk - 1)
     def _finalize():
@@ -145,19 +150,23 @@ def _dkv_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
     delta = delta_ref[0]
 
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     st = st * scale + _tile_bias(ck, cq, slope_ref[pl.program_id(0)]) + bias_col
     pt = jnp.exp(st - lse)
     pt = jnp.where(bias_col > _MASK_THRESHOLD, pt, 0.0)
     dv_acc[...] += jax.lax.dot_general(
         pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     dst = pt * (dpt - delta)
     dk_acc[...] += jax.lax.dot_general(
         dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype)) * scale
 
     @pl.when(qb == nq - 1)
     def _finalize():

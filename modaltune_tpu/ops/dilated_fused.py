@@ -57,7 +57,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
-from .flash_attention import NEG_INF, _MASK_THRESHOLD
+from .flash_attention import NEG_INF, _MASK_THRESHOLD, _mm_precision
 
 try:  # TPU backend optional (CPU tests run interpret mode)
     from jax.experimental import pallas as pl
@@ -440,7 +440,8 @@ def _attend_block(qi, k, v, bias_row, scale, lse_valid=None):
 
     Returns (out fp32 (bq, D), lse fp32 (bq, 1))."""
     s = jax.lax.dot_general(qi, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(k.dtype))
     s = s + bias_row
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True),
                     _MASK_THRESHOLD)
@@ -449,7 +450,8 @@ def _attend_block(qi, k, v, bias_row, scale, lse_valid=None):
     lsafe = jnp.where(l > 0, l, 1.0)
     o = jax.lax.dot_general(p.astype(v.dtype), v,
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(v.dtype))
     o = o / lsafe
     lse = jnp.where(l > 0, m + jnp.log(lsafe), NEG_INF)
     if lse_valid is not None:
@@ -740,7 +742,8 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                 dmix_i = rows_of("dm", i0, rows).astype(jnp.float32)
                 s = jax.lax.dot_general(
                     qi, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(k.dtype))
                 s = s + bias_row
                 lse_exp = jnp.where(lse_i > _MASK_THRESHOLD, lse_i,
                                     jnp.float32(-_MASK_THRESHOLD))
@@ -753,7 +756,8 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                 dob = do.astype(v.dtype)
                 dp = jax.lax.dot_general(
                     dob, v, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(v.dtype))
                 # delta = rowsum(do . out) = rowsum(p . dp) since the
                 # full dp row is in hand -- saves recomputing out = p v
                 delta = jnp.sum(p * dp, axis=-1, keepdims=True)
@@ -761,15 +765,18 @@ def _branch_bwd_call(plan: _BranchPlan, q_l, k_l, v_l, bias, dmix_l,
                 dsb = ds.astype(k.dtype)
                 dq_i = jax.lax.dot_general(
                     dsb, k, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(k.dtype)) * scale
                 dq_ref[0, pl.ds(i0, rows), :] = dq_i.astype(
                     dq_ref.dtype)
                 dk_acc[...] += jax.lax.dot_general(
                     dsb, qi, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(k.dtype))
                 dv_acc[...] += jax.lax.dot_general(
                     pb, dob, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(v.dtype))
 
             def body(i, _):
                 step(i * bq, bq)

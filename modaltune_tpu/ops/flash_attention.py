@@ -83,6 +83,16 @@ def _pick_block(requested: int, length: int) -> int:
     return best
 
 
+def _mm_precision(dtype):
+    """Matmul precision for kernel dots, chosen by input dtype.
+
+    fp32 inputs at Mosaic DEFAULT run as single bf16 MXU passes
+    (measured ~2.8e-3 relative error) -- HIGHEST restores exact fp32.
+    bf16 inputs are natively exact on the MXU with an fp32 accumulator,
+    so DEFAULT already loses nothing and stays on the fast path."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -108,7 +118,8 @@ def _fwd_kernel(*refs, scale: float, nk: int, has_bias: bool):
     v = v_ref[0]                      # (bk, d)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     s = s * scale
     if has_bias:
         s = s + bias_ref[0]           # (1, bk) additive, 0 or NEG_INF
@@ -126,7 +137,8 @@ def _fwd_kernel(*refs, scale: float, nk: int, has_bias: bool):
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     m_ref[:, :1] = m_new
     l_ref[:, :1] = l_new
 
@@ -216,16 +228,19 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0].reshape(-1, 1)      # (bq, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     s = s * scale + bias
     p = jnp.exp(s - lse)
     p = jnp.where(bias > _MASK_THRESHOLD, p, 0.0)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     ds = p * (dp - delta)
     acc_ref[...] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype)) * scale
 
     @pl.when(kb == nk - 1)
     def _finalize():
@@ -250,19 +265,23 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0]                     # (1, bq)
 
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     st = st * scale + bias_col               # (bk, bq)
     pt = jnp.exp(st - lse)
     pt = jnp.where(bias_col > _MASK_THRESHOLD, pt, 0.0)
     dv_acc[...] += jax.lax.dot_general(
         pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype))
     dst = pt * (dpt - delta)
     dk_acc[...] += jax.lax.dot_general(
         dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(k.dtype)) * scale
 
     @pl.when(qb == nq - 1)
     def _finalize():
@@ -387,8 +406,13 @@ def flash_attention_reference(q, k, v, bias=None, scale=None):
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    # HIGHEST is load-bearing: at TPU DEFAULT precision these fp32
+    # einsums run as bf16 MXU passes (~1e-3 relative), which is larger
+    # than the Pallas kernels' own error — the oracle must be the more
+    # precise side of every parity test.
     s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
+                   k.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * scale
     if bias is not None:
         s = s + bias[:, None, :].astype(jnp.float32)
         valid = (bias > _MASK_THRESHOLD)[:, None, :]
@@ -399,7 +423,8 @@ def flash_attention_reference(q, k, v, bias=None, scale=None):
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_safe = jnp.where(l > 0.0, l, 1.0)
     out = jnp.einsum("bqk,bkd->bqd", p / l_safe,
-                     v.astype(jnp.float32)).astype(q.dtype)
+                     v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
     lse = jnp.where(l[..., 0] > 0.0, m[..., 0] + jnp.log(l_safe[..., 0]),
                     NEG_INF)
     return out, lse

@@ -39,6 +39,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _first_slurm_host(nodelist: str) -> str:
+    """First real hostname of a SLURM nodelist.
+
+    Compressed lists like ``node[001-004,007],other`` must expand to
+    ``node001`` — the naive ``split("[")[0]`` yields the bare prefix
+    ``node``, an invalid coordinator hostname. Prefers ``scontrol show
+    hostnames`` when available (authoritative), else expands the first
+    bracket range textually, preserving zero-padding.
+    """
+    try:
+        import subprocess
+        out = subprocess.run(
+            ["scontrol", "show", "hostnames", nodelist],
+            capture_output=True, text=True, timeout=10)
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.split()[0]
+    except (OSError, ValueError):
+        pass
+    head = nodelist.split(",")[0]
+    if "[" not in head:
+        return head
+    prefix, rng = nodelist.split("[", 1)
+    first = rng.split("]", 1)[0].split(",")[0].split("-")[0]
+    return prefix + first
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None,
@@ -63,7 +89,7 @@ def init_distributed(coordinator_address: Optional[str] = None,
         elif "SLURM_NTASKS" in env and int(env["SLURM_NTASKS"]) > 1:
             num_processes = int(env["SLURM_NTASKS"])
             process_id = int(env["SLURM_PROCID"])
-            node = env["SLURM_STEP_NODELIST"].split(",")[0].split("[")[0]
+            node = _first_slurm_host(env["SLURM_STEP_NODELIST"])
             coordinator_address = coordinator_address or f"{node}:12355"
     if not num_processes or num_processes <= 1:
         return 0, 1
@@ -130,6 +156,105 @@ def allgather_embeddings(x: np.ndarray,
             row = bytes(genc[p, i][genc[p, i] != 0])
             all_ids.append(row.decode())
     return out, all_ids
+
+
+class DdpGradSync:
+    """Cross-process DDP gradient synchronization.
+
+    The reference all-reduces gradients every step via DDP
+    (``utils/base_trainer.py:205-211``). A single global train program
+    (shard_map over a cross-process ``data`` axis) would force every
+    process's batch to share one global shape — but bucket-padded bags
+    give each process a *different* static shape per step, so the DDP
+    decomposition is used instead:
+
+    1. each process runs its local jitted grad step on its own bucket
+       shape (any shape, compiled per bucket as usual);
+    2. per-process grads are assembled zero-copy into a global
+       ``(P, ...)`` array over a one-device-per-process mesh
+       (``jax.make_array_from_single_device_arrays``);
+    3. one jitted global program means the grads over the process axis
+       (XLA inserts the all-reduce over ICI/DCN) and applies the
+       optimizer update replicated on every process — post-step params
+       are bit-identical across processes by construction.
+
+    No host round-trips: grads stay on device end to end.
+    """
+
+    def __init__(self, tx):
+        import optax
+        self._optax = optax
+        self.tx = tx
+        devs = [next(d for d in jax.devices() if d.process_index == p)
+                for p in range(jax.process_count())]
+        self.mesh = Mesh(np.asarray(devs), ("proc",))
+        self.local_dev = devs[jax.process_index()]
+
+        def sync_apply(stacked_grads, stacked_loss, trainable, opt_state,
+                       step):
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0),
+                                 stacked_grads)
+            loss = jnp.mean(stacked_loss)
+            updates, new_opt = self.tx.update(grads, opt_state, trainable)
+            new_trainable = self._optax.apply_updates(trainable, updates)
+            return new_trainable, new_opt, step + 1, loss
+
+        self._sync_apply = jax.jit(sync_apply)
+
+    def _stack_local(self, tree):
+        """Per-process local pytree -> global (P, ...) arrays, this
+        process contributing its row in place (no copy)."""
+        n = jax.process_count()
+
+        def leaf(g):
+            g = jax.device_put(jnp.asarray(g), self.local_dev)[None]
+            sh = NamedSharding(self.mesh, P("proc",
+                                            *([None] * (g.ndim - 1))))
+            return jax.make_array_from_single_device_arrays(
+                (n,) + g.shape[1:], sh, [g])
+        return jax.tree.map(leaf, tree)
+
+    @staticmethod
+    def _host_replicated(tree):
+        """Leaves -> host numpy so the multi-controller jit treats them
+        as replicated inputs (identical on every process)."""
+        def leaf(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x          # already a global array
+            return np.asarray(x)
+        return jax.tree.map(leaf, tree)
+
+    @staticmethod
+    def local_view(tree):
+        """Global replicated arrays -> this process's addressable shard
+        (zero-copy), so local per-bucket programs can consume them."""
+        def leaf(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x.addressable_data(0)
+            return x
+        return jax.tree.map(leaf, tree)
+
+    def step(self, grads, loss, trainable, opt_state, step):
+        """-> (new_trainable, new_opt_state, new_step, mean_loss), all
+        replicated global arrays (mean_loss is safe to ``float()``)."""
+        return self._sync_apply(
+            self._stack_local(grads),
+            self._stack_local(jnp.asarray(loss, jnp.float32)),
+            self._host_replicated(trainable),
+            self._host_replicated(opt_state),
+            self._host_replicated(step))
+
+
+def global_steps_min(n_local: int) -> int:
+    """Minimum per-process step count — every process must run the same
+    number of synchronized steps per epoch (the DDP ``Join`` uneven-input
+    equivalent, ``train_modaltune.py:215``)."""
+    if jax.process_count() == 1:
+        return n_local
+    from jax.experimental import multihost_utils as mhu
+    counts = np.asarray(mhu.process_allgather(
+        jnp.asarray([n_local], jnp.int32)))
+    return int(counts.min())
 
 
 def global_mesh(n_seq: int = 1) -> Mesh:

@@ -79,6 +79,26 @@ def make_train_step(model, cfg: TrainConfig,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_grad_step(model, cfg: TrainConfig) -> Callable:
+    """Jitted ``grad_step(state, batch, text_targets, rng) -> (loss,
+    grads)`` without the optimizer update — the local half of the
+    multi-host DDP decomposition (``parallel/multihost.DdpGradSync``):
+    grads are synchronized across processes before being applied."""
+
+    def step(state: TrainState, batch: dict, text_targets, rng):
+        def loss_fn(trainable):
+            params = merge_params(state.frozen, trainable)
+            logits = multitask_logits(model, params, batch, cfg.num_tasks,
+                                      deterministic=False, rng=rng)
+            return kd_loss(logits, text_targets,
+                           temperature=cfg.temperature,
+                           scale=cfg.kd_loss_scale)
+
+        return jax.value_and_grad(loss_fn)(state.trainable)
+
+    return jax.jit(step)
+
+
 def _maybe_shard_eval(step, mesh, n_out: int):
     """Wrap an eval-style step in shard_map over the mesh's data axis:
     each device evaluates its batch shard (VERDICT weak #7 — replicated

@@ -54,6 +54,16 @@ def _device_batch(batch: Batch) -> dict:
     return out
 
 
+class _NullLogger:
+    """Metrics sink for non-zero processes in multi-host runs."""
+
+    def log(self, row, step=None):
+        pass
+
+    def dump_summary(self):
+        pass
+
+
 class ModalTuneTrainer:
     """Single-site multi-task KD trainer.
 
@@ -79,12 +89,18 @@ class ModalTuneTrainer:
         self.batch_size = batch_size
         self.mesh = mesh
         self.rng = set_seed(cfg.seed)
-        self.logger = MetricsLogger(str(self.out_dir))
-        dump_config(str(self.out_dir), {
-            "train": dataclasses.asdict(cfg),
-            "model": dataclasses.asdict(model_cfg) if model_cfg else {},
-            "buckets": list(buckets),
-        })
+        # multi-host: only process 0 writes run artifacts (configs,
+        # metrics, weight files) — the reference's rank-0 guard
+        # (base_trainer.py:438-440); orbax checkpoints stay collective.
+        self.is_main = process_shard is None or process_shard[0] == 0
+        self.logger = MetricsLogger(str(self.out_dir)) if self.is_main \
+            else _NullLogger()
+        if self.is_main:
+            dump_config(str(self.out_dir), {
+                "train": dataclasses.asdict(cfg),
+                "model": dataclasses.asdict(model_cfg) if model_cfg else {},
+                "buckets": list(buckets),
+            })
 
         # multi-host DP: each process iterates a disjoint case-modulo
         # shard (parallel/multihost.py) while dataset metadata stays
@@ -97,11 +113,13 @@ class ModalTuneTrainer:
             # async H2D overlap; under a mesh the sharded step owns
             # placement, so leave batches on host there
             device_prefetch=(mesh is None),
-            process_shard=process_shard)
+            process_shard=process_shard,
+            pad_to_batch=(mesh is not None))
         self.eval_loaders = {
             k: BucketedLoader(datasets[k], buckets=self.buckets,
                               batch_size=batch_size, shuffle=False,
-                              seed=cfg.seed, process_shard=process_shard)
+                              seed=cfg.seed, process_shard=process_shard,
+                              pad_to_batch=(mesh is not None))
             for k in ("train", "val", "test") if k in datasets}
 
         # frozen random text projector (train_modaltune.py:113-116)
@@ -115,6 +133,7 @@ class ModalTuneTrainer:
         self.best_metric = float("-inf")
         self._lr_head = None
         self._cph = None
+        self._steps_cap = None
 
     # ------------------------------------------------------------------
     def init_state(self, params: dict,
@@ -129,7 +148,32 @@ class ModalTuneTrainer:
         train_n = count_params(self.state.trainable)
         print(f"Initialized model: trainable={train_n:,} "
               f"frozen={frozen_n:,}")
-        if self.mesh is not None:
+        self._steps_cap = None
+        if self.process_shard is not None and self.process_shard[1] > 1:
+            # multi-host DDP: local per-bucket grad step + one global
+            # grad-mean/update program — replicas stay bit-identical
+            # (the reference's DDP wrap, base_trainer.py:205-211)
+            from ..parallel.multihost import DdpGradSync, global_steps_min
+            from .train_step import make_grad_step
+            ddp = DdpGradSync(tx)
+            gstep = make_grad_step(self.model, self.cfg)
+            pid = self.process_shard[0]
+
+            def ddp_step(state, batch, text_targets, rng):
+                rng = jax.random.fold_in(rng, pid)  # decorrelate dropout
+                loss, grads = gstep(DdpGradSync.local_view(state), batch,
+                                    text_targets, rng)
+                tr, opt, st, mloss = ddp.step(
+                    grads, loss, state.trainable, state.opt_state,
+                    state.step)
+                return state.replace(trainable=tr, opt_state=opt,
+                                     step=st), mloss
+
+            self._train_step = ddp_step
+            # every process must run the same number of synchronized
+            # steps (uneven shards -> DDP Join equivalent)
+            self._steps_cap = global_steps_min(len(self.train_loader))
+        elif self.mesh is not None:
             from ..parallel.mesh import make_dp_train_step
             self._train_step = make_dp_train_step(self.model, self.cfg,
                                                   self.mesh)
@@ -156,6 +200,8 @@ class ModalTuneTrainer:
     def train_one_epoch(self) -> float:
         total, n = 0.0, 0
         cap = self._epoch_cap()
+        if self._steps_cap is not None:
+            cap = min(cap, self._steps_cap)
         for batch in self.train_loader:
             if n >= cap:
                 break
@@ -167,17 +213,35 @@ class ModalTuneTrainer:
             n += 1
         return total / max(n, 1)
 
+    def _local_state(self) -> TrainState:
+        """State view safe for local (per-process) jitted programs: under
+        multi-host DDP, trainable/opt leaves are global replicated arrays
+        — take this process's addressable shard (zero-copy)."""
+        if self.process_shard is not None and self.process_shard[1] > 1:
+            from ..parallel.multihost import DdpGradSync
+            return DdpGradSync.local_view(self.state)
+        return self.state
+
     def extract_embeddings(self, loader, task0_only: bool = False):
         """-> (embeddings (N, T, D) fp32, metadata rows). The in-loop
         readout uses task-0 embeddings only, like
         ``LogisticRegression_train`` (train_modaltune.py:329-376)."""
         embs, ids = [], []
         by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
+        state = self._local_state()
         for batch in loader:
-            out = self._embed_step(self.state, _device_batch(batch))
-            embs.append(np.asarray(out, np.float32))
-            ids.extend(batch.case_ids)
-        x = np.concatenate(embs) if embs else np.zeros((0, 3, 1))
+            out = self._embed_step(state, _device_batch(batch))
+            real = len(batch.case_ids) - batch.pad_rows
+            embs.append(np.asarray(out, np.float32)[:real])
+            ids.extend(batch.case_ids[:real])
+        # the empty placeholder must carry the real (num_tasks, out_dim)
+        # trailing shape: under the multi-host gather a (0, 3, 1) stub
+        # would disagree with other processes' (n, T, D) rows and break
+        # the padded allgather whenever a split has fewer cases than
+        # processes
+        out_dim = self.model.cfg.adapter.output_dim
+        x = np.concatenate(embs) if embs else \
+            np.zeros((0, self.cfg.num_tasks, out_dim), np.float32)
         if self.process_shard is not None:
             # re-assemble the per-process shards (uneven-count gather:
             # the DDP Join + gather_object equivalent,
@@ -205,13 +269,15 @@ class ModalTuneTrainer:
         loader = self.eval_loaders[stage]
         by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
         losses, x0, meta = [], [], []
+        state = self._local_state()
         for batch in loader:
-            logits, loss = self._eval_step(self.state,
+            logits, loss = self._eval_step(state,
                                            _device_batch(batch),
                                            self._text_targets(batch))
             losses.append(float(loss))
-            x0.append(np.asarray(logits[:, 0], np.float32))
-            meta.extend(by_case[c] for c in batch.case_ids)
+            real = len(batch.case_ids) - batch.pad_rows
+            x0.append(np.asarray(logits[:real, 0], np.float32))
+            meta.extend(by_case[c] for c in batch.case_ids[:real])
         x0 = np.concatenate(x0)
         y = np.array([m.get("primary_class", -1) for m in meta], int)
         t = np.array([m.get("durations", np.nan) for m in meta], float)
@@ -242,23 +308,50 @@ class ModalTuneTrainer:
 
     # ------------------------------------------------------------------
     def save_weights(self, name: str) -> None:
-        save_params_npz(str(self.out_dir / name), self.state.params)
+        if self.is_main:
+            save_params_npz(str(self.out_dir / name), self.state.params)
 
-    def load_weights(self, path: str) -> None:
+    def load_weights(self, path: str, strict: bool = True) -> None:
+        """Load a weights npz; with ``strict`` the loaded tree must match
+        the current model's param tree exactly (keys and shapes) — the
+        deploy-time ``load_state_dict`` strictness
+        (``train_modaltune.py:546-548``), guarding against a model built
+        from drifted flags."""
         params = jax.tree.map(jnp.asarray, load_params_npz(path))
+        if strict:
+            from ..utils.params_io import flatten_params
+            cur = flatten_params(jax.tree.map(np.asarray,
+                                              self.state.params))
+            new = flatten_params(jax.tree.map(np.asarray, params))
+            missing = sorted(set(cur) - set(new))
+            unexpected = sorted(set(new) - set(cur))
+            bad_shape = sorted(k for k in set(cur) & set(new)
+                               if cur[k].shape != new[k].shape)
+            if missing or unexpected or bad_shape:
+                raise ValueError(
+                    f"weights at {path} do not match the model: "
+                    f"missing={missing[:5]} unexpected={unexpected[:5]} "
+                    f"shape-mismatch={bad_shape[:5]} "
+                    f"({len(missing)}/{len(unexpected)}/{len(bad_shape)} "
+                    f"total)")
         frozen = {k: v for k, v in params.items() if k == "backbone"}
         trainable = {k: v for k, v in params.items() if k != "backbone"}
         self.state = self.state.replace(frozen=frozen, trainable=trainable)
 
-    def save_checkpoint(self, name: str = "ckpt") -> None:
-        """Full-state checkpoint (params + optimizer) for resume."""
+    def save_checkpoint(self, name: str = "ckpt",
+                        resume_epoch: Optional[int] = None) -> None:
+        """Full-state checkpoint (params + optimizer) for resume.
+
+        ``resume_epoch`` records the epoch training should *continue
+        from* (run() passes epoch+1 after finishing an epoch)."""
         import orbax.checkpoint as ocp
         path = (self.out_dir / name).resolve()
         ckptr = ocp.StandardCheckpointer()
+        epoch = self.current_epoch if resume_epoch is None else resume_epoch
         ckptr.save(path, dict(trainable=self.state.trainable,
                               opt_state=self.state.opt_state,
                               step=self.state.step,
-                              epoch=self.current_epoch,
+                              epoch=epoch,
                               best=self.best_metric), force=True)
         ckptr.wait_until_finished()
 
@@ -283,8 +376,15 @@ class ModalTuneTrainer:
     # ------------------------------------------------------------------
     def run(self, params: dict, frozen_dtype=None) -> float:
         """Full training run -> best val key metric (balanced accuracy,
-        like ``base_trainer.py:423-543``)."""
+        like ``base_trainer.py:423-543``). With ``cfg.save_interval`` set,
+        writes a full-state checkpoint every N epochs and auto-resumes
+        from it at start (superset of the reference's
+        ``model_weights_epoch_N.pt`` interval saves,
+        ``base_trainer.py:320-340``, which cannot restore the optimizer)."""
         self.init_state(params, frozen_dtype=frozen_dtype)
+        if self.cfg.save_interval and self.restore_checkpoint():
+            print(f"Resumed from checkpoint at epoch {self.current_epoch} "
+                  f"(best={self.best_metric:.4f})")
         for epoch in range(self.current_epoch, self.cfg.num_epochs):
             self.current_epoch = epoch
             t0 = time.time()
@@ -300,6 +400,9 @@ class ModalTuneTrainer:
                     self.best_metric = key
                     self.save_weights("best_model_weights.npz")
             self.logger.log(row, step=epoch)
+            if self.cfg.save_interval and \
+                    (epoch + 1) % self.cfg.save_interval == 0:
+                self.save_checkpoint(resume_epoch=epoch + 1)
         # test with best weights, heads refit on train
         if (self.out_dir / "best_model_weights.npz").exists():
             self.load_weights(str(self.out_dir / "best_model_weights.npz"))

@@ -107,7 +107,10 @@ def apply_bert_init(params, rng, std: float = 0.02):
     for (path, leaf), key in zip(leaves, keys):
         name = jax.tree_util.keystr(path)
         parent = jax.tree_util.keystr(path[:-1])
-        if name.endswith("['kernel']"):
+        if name.endswith("['kernel']") or name.endswith("['embedding']"):
+            # 'kernel' covers Linear/attention projections; 'embedding'
+            # covers flax nn.Embed tables (torch nn.Embedding equivalent,
+            # re-drawn by init_bert_params the same way)
             flat[name] = (jax.random.normal(key, leaf.shape) *
                           std).astype(leaf.dtype)
         elif name.endswith("['bias']") and parent in linear_parents:

@@ -37,4 +37,56 @@ other = process_datalist(items, process_id=1 - pid, num_processes=2)
 assert not set(mine) & set(other)
 assert len(mine) + len(other) == 7
 
+# --- synchronized DDP train steps: replicas must stay bit-identical ---
+# (the reference's DDP gradient all-reduce, base_trainer.py:205-211; here
+# DdpGradSync: local per-bucket grad step + global grad-mean/update)
+import tempfile
+
+import jax.numpy as jnp
+
+from modaltune_tpu.configs import TrainConfig, tiny_test_config
+from modaltune_tpu.data import SyntheticSlideDataset
+from modaltune_tpu.models import ModalTuneModel
+from modaltune_tpu.train.trainer import ModalTuneTrainer
+
+cfg = tiny_test_config()
+packer = SyntheticSlideDataset(n_cases=1).packer
+datasets = {
+    name: SyntheticSlideDataset(n_cases=5, in_chans=cfg.backbone.in_chans,
+                                bag_range=(40, 80), packer=packer, seed=i)
+    for i, name in enumerate(("train", "val", "test"))}
+model = ModalTuneModel(cfg, n_gene_groups=packer.n_groups,
+                       max_group_len=packer.max_group_len)
+tcfg = TrainConfig(lr=1e-3, num_epochs=1, warmup_epochs=1, seed=0)
+out_dir = tempfile.mkdtemp(prefix=f"mh_trainer_p{pid}_")
+trainer = ModalTuneTrainer(model, tcfg, datasets, out_dir, buckets=(96,),
+                           process_shard=(pid, 2))
+ex = datasets["train"].get(0, np.random.RandomState(0))
+init_params = model.init(jax.random.PRNGKey(0),
+                         jnp.asarray(ex.bag[None, :40]),
+                         jnp.asarray(ex.coords[None, :40]),
+                         jnp.asarray(ex.genes[None]),
+                         task_token=jnp.eye(3)[:1])["params"]
+trainer.init_state(init_params)
+# uneven shards: 5 cases over 2 processes -> the synchronized-step cap
+# must agree on min(3, 2) = 2 steps
+assert trainer._steps_cap == 2, trainer._steps_cap
+loss = trainer.train_one_epoch()
+assert np.isfinite(loss)
+
+flat = np.concatenate([np.asarray(l, np.float32).ravel()
+                       for l in jax.tree_util.tree_leaves(
+                           trainer.state.trainable)])
+both = allgather_embeddings(flat[None])
+assert both.shape[0] == 2
+assert np.array_equal(both[0], both[1]), (
+    "post-step params diverged across processes: max diff "
+    f"{np.abs(both[0] - both[1]).max()}")
+# and training actually moved the params
+init_flat = np.concatenate([np.asarray(l, np.float32).ravel()
+                            for l in jax.tree_util.tree_leaves(
+                                {k: v for k, v in init_params.items()
+                                 if k != "backbone"})])
+assert not np.array_equal(both[0], init_flat)
+
 print(f"WORKER{pid} OK", flush=True)

@@ -7,6 +7,7 @@ run through ``jax.distributed`` (the JAX-native stand-in for a
 multi-node cluster).
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -29,6 +30,35 @@ def test_process_datalist_disjoint_cover():
     flat = sorted(sum(shards, []))
     assert flat == items
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_first_slurm_host():
+    """Bracketed SLURM nodelists must expand to a real hostname — the
+    bare prefix ('node') is not a valid coordinator address."""
+    from modaltune_tpu.parallel.multihost import _first_slurm_host
+    assert _first_slurm_host("node001") == "node001"
+    assert _first_slurm_host("node001,node002") == "node001"
+    assert _first_slurm_host("node[001-004]") == "node001"
+    assert _first_slurm_host("node[001-004,007]") == "node001"
+    assert _first_slurm_host("gpu[17,19-21],other") == "gpu17"
+
+
+def test_model_config_roundtrip():
+    """config.json dump -> model_config_from_dict rebuilds the exact
+    config, dispatching GigaPath vs TITAN by backbone fields (the
+    eval-only reload path; fixes the round-2 dead-and-wrong
+    TitanModalTuneConfig.from_dict)."""
+    import dataclasses
+    from modaltune_tpu.configs import (TitanModalTuneConfig,
+                                       gigapath_modaltune_config,
+                                       model_config_from_dict,
+                                       tiny_test_config)
+    for cfg in (gigapath_modaltune_config(clinical=True),
+                tiny_test_config(), TitanModalTuneConfig()):
+        d = json.loads(json.dumps(dataclasses.asdict(cfg)))
+        back = model_config_from_dict(d)
+        assert type(back) is type(cfg)
+        assert back == cfg
 
 
 def test_single_process_passthrough():
@@ -62,7 +92,7 @@ def test_two_process_cpu_gather():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

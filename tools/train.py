@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the train split")
     # synthetic smoke mode (no external data needed)
     p.add_argument("--synthetic", default=0, type=int)
+    p.add_argument("--tiny", default=0, type=int,
+                   help="tiny test model + small synthetic bags (CI "
+                        "smoke; implies --synthetic geometry, like the "
+                        "reference's LongNet_test config)")
     p.add_argument("--gc", "--grad_accum", dest="grad_accum", default=1,
                    type=int,
                    help="gradient accumulation steps (the reference "
@@ -102,6 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", default=0, type=int,
                    help="bootstrap jax.distributed from SLURM/torchrun "
                         "env for multi-host data parallelism")
+    p.add_argument("--dp", default="auto", type=str,
+                   help="single-process multi-chip data parallelism: "
+                        "'auto' uses every local device when >1, '0'/'1' "
+                        "disables, N uses N devices (batch size is "
+                        "rounded up to a multiple of the mesh size)")
+    p.add_argument("--save_interval", default=0, type=int,
+                   help="full-state (params+optimizer) checkpoint every "
+                        "N epochs, with auto-resume at start; 0 = off")
     return p
 
 
@@ -134,13 +146,14 @@ def load_real_datasets(args):
     return datasets, packer
 
 
-def load_synthetic_datasets(args):
+def load_synthetic_datasets(args, in_chans: int = 1536,
+                            bag_range=(256, 1024)):
     from modaltune_tpu.data import SyntheticSlideDataset
     packer = SyntheticSlideDataset(n_cases=1).packer
     clin = 5 if "clinical" in args.mil_name else 0
     datasets = {
         name: SyntheticSlideDataset(
-            n_cases=8, in_chans=1536, bag_range=(256, 1024),
+            n_cases=8, in_chans=in_chans, bag_range=bag_range,
             packer=packer, clinical_dim=clin, threshold=args.threshold,
             seed=i, n_sites=4 if args.pancancer else 1)
         for i, name in enumerate(("train", "val", "test"))}
@@ -182,13 +195,20 @@ def run_one_seed(args):
     import jax
     import jax.numpy as jnp
     from modaltune_tpu.configs import (TrainConfig, TitanModalTuneConfig,
-                                       gigapath_modaltune_config)
+                                       gigapath_modaltune_config,
+                                       tiny_test_config)
     from modaltune_tpu.models import create_aggregator
     from modaltune_tpu.train.pancancer_trainer import PanCancerTrainer
     from modaltune_tpu.train.trainer import ModalTuneTrainer
     from modaltune_tpu.utils.params_io import load_params_npz
 
-    if args.synthetic:
+    if args.tiny:
+        tiny_chans = tiny_test_config().backbone.in_chans
+        datasets, packer = load_synthetic_datasets(
+            args, in_chans=tiny_chans, bag_range=(40, 80))
+        if args.buckets == "4095,8191,16383,25599":
+            args.buckets = "96"
+    elif args.synthetic:
         datasets, packer = load_synthetic_datasets(args)
     else:
         datasets, packer = load_real_datasets(args)
@@ -204,8 +224,28 @@ def run_one_seed(args):
     clinical = "clinical" in args.mil_name
     if args.mil_name.startswith("titan"):
         model_cfg = TitanModalTuneConfig()
+    elif args.tiny:
+        model_cfg = tiny_test_config(clinical=clinical)
     else:
         model_cfg = gigapath_modaltune_config(clinical=clinical)
+    # eval-only deploys rebuild the model from the config.json saved next
+    # to the weights, so drifted CLI flags can't silently build a model
+    # that mismatches the checkpoint (train_modaltune.py:563-586 reloads
+    # the run config the same way; only data paths come from the CLI)
+    if args.eval_only and args.eval_weights:
+        from modaltune_tpu.configs import model_config_from_dict
+        cfg_path = Path(args.eval_weights).parent / "config.json"
+        if cfg_path.exists():
+            with open(cfg_path) as f:
+                saved = json.load(f)
+            if saved.get("model"):
+                model_cfg = model_config_from_dict(saved["model"])
+                print(f"eval_only: model config reloaded from {cfg_path}")
+            if saved.get("buckets"):
+                args.buckets = ",".join(str(b) for b in saved["buckets"])
+        else:
+            print(f"eval_only: WARNING no config.json next to "
+                  f"{args.eval_weights}; building from CLI flags")
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if not args.fused_attention and hasattr(model_cfg, "backbone") and \
             hasattr(model_cfg.backbone, "fused_attention"):
@@ -225,22 +265,39 @@ def run_one_seed(args):
                        num_tasks=args.num_tasks,
                        threshold=args.threshold,
                        grad_accum=args.grad_accum,
-                       reference_quirks=bool(args.reference_quirks))
+                       reference_quirks=bool(args.reference_quirks),
+                       save_interval=args.save_interval)
     buckets = tuple(int(b) for b in args.buckets.split(","))
     out_dir = Path(args.output_path) / f"seed_{args.seed}"
     cls = PanCancerTrainer if args.pancancer else ModalTuneTrainer
     # multi-host DP: SLURM/torchrun env (or --distributed) bootstraps the
     # jax distributed runtime; each process trains on a disjoint
-    # case-modulo shard and eval embeddings are re-gathered
-    # (parallel/multihost.py — base_trainer.py:160-203 equivalent)
+    # case-modulo shard with cross-process gradient sync (DdpGradSync)
+    # and eval embeddings are re-gathered
+    # (parallel/multihost.py — base_trainer.py:160-211 equivalent)
     shard = None
     if args.distributed:
         from modaltune_tpu.parallel.multihost import init_distributed
         pid, nproc = init_distributed()
         if nproc > 1:
             shard = (pid, nproc)
+    # single-process multi-chip DP (base_trainer.py:160-211's DDP over
+    # local GPUs): shard_map over a data-axis mesh, no hand-wiring needed
+    mesh, batch_size = None, args.batch_size
+    if shard is None and args.dp not in ("0", "1"):
+        n_data = jax.device_count() if args.dp == "auto" else \
+            min(int(args.dp), jax.device_count())
+        if n_data > 1:
+            from modaltune_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(n_data=n_data)
+            print(f"--dp: data-parallel over {n_data} devices")
+            if batch_size % n_data:
+                batch_size = n_data * ((batch_size + n_data - 1) // n_data)
+                print(f"--dp: batch_size rounded up to {batch_size} "
+                      f"(multiple of the {n_data}-device data mesh)")
     trainer = cls(model, tcfg, datasets, str(out_dir), buckets=buckets,
-                  batch_size=args.batch_size, process_shard=shard)
+                  batch_size=batch_size, process_shard=shard, mesh=mesh,
+                  model_cfg=model_cfg)
 
     # init params on a small example
     rng = np.random.RandomState(0)
@@ -274,7 +331,8 @@ def run_one_seed(args):
             fold_trainer = cls(model, tcfg, fold_sets,
                                str(out_dir / f"fold_{k}"),
                                buckets=buckets,
-                               batch_size=args.batch_size)
+                               batch_size=args.batch_size,
+                               model_cfg=model_cfg)
             fold_metrics.append(fold_trainer.run(params,
                                                  frozen_dtype=dtype))
         print(f"k-fold metrics: {fold_metrics} "
