@@ -66,7 +66,8 @@ ITERS_A = 4
 ITERS_B = 16
 
 
-def main():
+def main(trace_dir: str = "", with_titan: bool = True,
+         titan_tokens: int = 4096):
     from modaltune_tpu.configs import (TrainConfig,
                                        gigapath_modaltune_config)
     from modaltune_tpu.data import GenePacker, synthetic_pathways
@@ -125,6 +126,13 @@ def main():
 
     for _ in range(WARMUP):
         run_n(1, state)
+    if trace_dir:
+        # profiler capture of 2 steady-state steps (attribution for the
+        # perf analysis; view with tensorboard / xprof)
+        from modaltune_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            run_n(2, state)
+        print(f"trace written to {trace_dir}", file=sys.stderr)
     t_a, _, _ = run_n(ITERS_A, state)
     t_b, loss_v, _ = run_n(ITERS_B, state)
     dt = (t_b - t_a) / (ITERS_B - ITERS_A)
@@ -133,7 +141,7 @@ def main():
     loss = loss_v
     flops = model_flops_per_step(cfg, BAG)
     mfu = flops / dt / V5E_PEAK_BF16_FLOPS
-    print(json.dumps({
+    result = {
         "metric": "modaltune_gigapath_train_slides_per_sec_per_chip",
         "value": round(slides_per_sec, 4),
         "unit": "slides/sec/chip (fwd+bwd+update, 10k-patch bag, 3 tasks)",
@@ -146,8 +154,24 @@ def main():
         "step_ms": round(1000 * dt, 1),
         "flops_per_step": round(flops / 1e9, 1),
         "mfu": round(mfu, 4),
-    }))
+    }
+    if with_titan:
+        # second model family, same chip, same JSON line (BENCH contract
+        # stays one line; VERDICT r2 next #7)
+        try:
+            from tools.bench_titan import measure as titan_measure
+            result["titan"] = titan_measure(titan_tokens)
+        except Exception as e:  # pragma: no cover - keep the main metric
+            result["titan"] = {"error": repr(e)[:200]}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default="", help="jax.profiler trace dir")
+    ap.add_argument("--no-titan", action="store_true")
+    ap.add_argument("--titan_tokens", type=int, default=4096)
+    a = ap.parse_args()
+    main(trace_dir=a.trace, with_titan=not a.no_titan,
+         titan_tokens=a.titan_tokens)

@@ -70,6 +70,33 @@ def test_forward_matches_oracle(masked):
     np.testing.assert_allclose(g, w, atol=TOL, rtol=TOL)
 
 
+def test_grads_match_oracle_small():
+    """Reduced-geometry gradient parity (fast-suite variant of
+    test_grads_match_oracle: same code paths — slc + comb + gather
+    modes — at 1/4 the sequence)."""
+    S2 = 64
+    segs, ratios = (16, 32, 48), (1, 2, 2)
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(2, S2, 4, 16), jnp.float32)
+    mask = jnp.asarray(np.arange(S2)[None, :] <
+                       np.array([40, 64])[:, None])
+    cot = jax.random.normal(jax.random.PRNGKey(5), q.shape) * \
+        mask[:, :, None, None]
+
+    f_ref = lambda x: jnp.sum(dilated_attention(
+        x, x, x, segment_lengths=segs, dilated_ratios=ratios,
+        mask=mask, use_pallas=False) * cot)
+    f_fus = lambda x: jnp.sum(fused_dilated_attention(
+        x, x, x, segment_lengths=segs, dilated_ratios=ratios,
+        mask=mask, interpret=INTERPRET) * cot)
+    gw = jax.grad(f_ref)(q)
+    gg = jax.grad(f_fus)(q)
+    mm = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(gg) * mm, np.asarray(gw) * mm,
+                               atol=TOL * 10, rtol=TOL * 10)
+
+
+@pytest.mark.slow
 def test_grads_match_oracle():
     q, k, v, mask = _inputs(1, True)
     key = jax.random.PRNGKey(3)
@@ -126,6 +153,7 @@ def test_all_training_buckets_eligible():
         assert fused_eligible(b + 1, 16, 48, segs, ratios), b
 
 
+@pytest.mark.slow
 def test_flagship_bucket_4096_matches_oracle():
     """Oracle parity at the smallest common training bucket (S=4096,
     where the 5792 branch clamps to 'comb' mode instead of 'crd')."""
@@ -149,6 +177,7 @@ def test_flagship_bucket_4096_matches_oracle():
                                atol=TOL * 3, rtol=TOL * 3)
 
 
+@pytest.mark.slow
 def test_edge_masks_and_bf16_grads():
     """Degenerate masks (nearly-empty and full rows in one batch) keep
     outputs/grads finite and matching the oracle; bf16 gradients track

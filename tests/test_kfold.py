@@ -4,6 +4,7 @@ plus a real fold-loop lifecycle run (``base_trainer.py:545-571``)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from modaltune_tpu.configs import TrainConfig, tiny_test_config
 from modaltune_tpu.data import SyntheticSlideDataset, kfold_splits
@@ -34,6 +35,7 @@ def test_subset_view_semantics():
     assert va.metadata()[0]["case_id"] == va.case_ids[0]
 
 
+@pytest.mark.slow
 def test_kfold_lifecycle(tmp_path):
     """run_kfold actually trains each fold: per-fold run dirs with
     metrics + best weights, and a finite metric per fold."""

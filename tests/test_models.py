@@ -71,6 +71,7 @@ def test_forward_shapes(tiny_model):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_forward_batched_tasks(tiny_model):
     """Batched multi-task forward == per-task forwards."""
     cfg, model, params = tiny_model
@@ -133,6 +134,7 @@ def test_frozen_partition(tiny_model):
             "gene_pe"} <= trainable
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_adapter_only_when_masked(tiny_model):
     cfg, model, params = tiny_model
     bag, coords, mask, genes, task = _dummy_inputs(cfg)

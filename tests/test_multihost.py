@@ -77,6 +77,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_cpu_gather():
     """Spawn two real processes, initialize jax.distributed over
     loopback, and run the uneven-count embedding gather."""

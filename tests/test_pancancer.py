@@ -59,6 +59,7 @@ def test_perform_testing_pancancer():
     assert res["site_classification"]["General"]["acc"] > 0.8
 
 
+@pytest.mark.slow
 def test_pancancer_trainer_lifecycle(tmp_path):
     import jax
     import jax.numpy as jnp

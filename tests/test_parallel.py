@@ -47,6 +47,7 @@ def _setup(n_slides, seed=0, drop=False):
     return cfg, model, params, inputs, text
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     n = 4
     cfg, model, params, inputs, text = _setup(n_slides=n)
@@ -77,6 +78,7 @@ def test_dp_matches_single_device():
                                    atol=1e-4, rtol=0)
 
 
+@pytest.mark.slow
 def test_spmd_seq_parallel_runs():
     n_data, n_seq = 2, 2
     cfg, model, params, inputs, text = _setup(n_slides=n_data)
@@ -95,6 +97,7 @@ def test_spmd_seq_parallel_runs():
     assert step.jitted._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_mesh_aware_eval_and_embed_match_single_device():
     """Eval/embed steps under a data mesh shard the batch per device
     (VERDICT weak #7) and agree with the single-device results."""

@@ -45,6 +45,7 @@ def _grads(policy: str, seed: int = 0):
     return float(lv), np.asarray(gx)
 
 
+@pytest.mark.slow
 def test_policy_is_numerics_neutral_cpu_or_tpu():
     l1, g1 = _grads("flash")
     l2, g2 = _grads("full")

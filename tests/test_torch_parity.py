@@ -107,6 +107,7 @@ def test_dense_flash_shim_lse(ref_env):
     assert torch.allclose(lse, torch.logsumexp(s, -1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_adapter_logit_parity(ref_env, bag):
     """Full ModalTune forward parity: reference LongNetGeneAdapter
     (longvit_adapter.py:205-347) vs the converted JAX ModalTuneModel,

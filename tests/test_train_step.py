@@ -4,6 +4,7 @@ frozen params stay frozen, schedule matches the warmup->cosine contract."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from modaltune_tpu.configs import TrainConfig, tiny_test_config
 from modaltune_tpu.data import BucketedLoader, SyntheticSlideDataset
@@ -34,6 +35,7 @@ def build(seed=0):
     return cfg, ds, model, loader, params
 
 
+@pytest.mark.slow
 def test_train_step_learns():
     cfg, ds, model, loader, params = build()
     tcfg = TrainConfig(lr=3e-3, num_epochs=4, warmup_epochs=1)

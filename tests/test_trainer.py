@@ -7,6 +7,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from modaltune_tpu.configs import TrainConfig, tiny_test_config
 from modaltune_tpu.data import SyntheticSlideDataset
@@ -59,6 +60,7 @@ def test_full_run_and_deploy(tmp_path):
     assert (out / "data" / "x_feats_test.npy").exists()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     trainer, params, cfg = _make(tmp_path, num_epochs=1)
     trainer.init_state(params)

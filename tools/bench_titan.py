@@ -26,7 +26,10 @@ ITERS_A = 4
 ITERS_B = 12
 
 
-def main():
+def measure(n_tokens: int = N_TOKENS, iters_b: int = ITERS_B) -> dict:
+    """One TITAN train-step throughput measurement -> result dict
+    (importable by bench.py so the driver's single JSON line carries the
+    TITAN metric alongside the GigaPath one)."""
     from modaltune_tpu.configs import TitanModalTuneConfig, TrainConfig
     from modaltune_tpu.data import GenePacker, synthetic_pathways
     from modaltune_tpu.models.titan import TitanModalTuneModel
@@ -43,13 +46,14 @@ def main():
                                 dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
-    side = int(N_TOKENS ** 0.5)
+    side = int(round(n_tokens ** 0.5))
+    n_tokens = side * side
     gc = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
                   -1).reshape(1, -1, 2)
-    tokens = jnp.asarray(rng.randn(1, N_TOKENS, cfg.backbone.in_dim),
+    tokens = jnp.asarray(rng.randn(1, n_tokens, cfg.backbone.in_dim),
                          jnp.float32)
     coords = jnp.asarray(gc, jnp.float32)
-    valid = jnp.asarray(np.ones((1, N_TOKENS), bool))
+    valid = jnp.asarray(np.ones((1, n_tokens), bool))
     genes = jnp.asarray(
         packer.pack(rng.randn(4987).astype(np.float32))[None])
     text = project_text(
@@ -80,17 +84,25 @@ def main():
     for _ in range(WARMUP):
         run_n(1, state)
     t_a, _ = run_n(ITERS_A, state)
-    t_b, loss_v = run_n(ITERS_B, state)
-    dt = (t_b - t_a) / (ITERS_B - ITERS_A)
-    print(json.dumps({
+    t_b, loss_v = run_n(iters_b, state)
+    dt = (t_b - t_a) / (iters_b - ITERS_A)
+    return {
         "metric": "modaltune_titan_train_slides_per_sec_per_chip",
         "value": round(1.0 / dt, 4),
-        "unit": f"slides/sec/chip (fwd+bwd+update, {N_TOKENS}-cell "
+        "unit": f"slides/sec/chip (fwd+bwd+update, {n_tokens}-cell "
                 "grid, 3 tasks)",
         "loss": float(loss_v),
         "backend": jax.default_backend(),
         "step_ms": round(1000 * dt, 1),
-    }))
+    }
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_tokens", type=int, default=N_TOKENS)
+    args = p.parse_args()
+    print(json.dumps(measure(args.n_tokens)))
 
 
 if __name__ == "__main__":
