@@ -1,0 +1,580 @@
+"""Mega-kernel dilated attention: every branch + the LSE mix in ONE
+Pallas kernel per (batch*head), reading comb-layout q/k/v once.
+
+Round-3 successor of the per-branch decomposition in
+ops/dilated_fused.py. The round-2 design parked a shared kernel because
+the w=5792 branch's stride-2 rows were believed incommensurate with the
+power-of-two comb layout; that was wrong: **every shipped segment
+length is a multiple of R = max(ratios)** (5792 = 16*362), and in
+comb_R order (position ``p`` stored at row ``(p % R)*(S/R) + p // R``)
+branch segment ``n`` occupies rows ``t in [n*w/R, (n+1)*w/R)`` of
+*every* slab ``j`` — segment boundaries align across slabs. A
+(head-group ``g``, segment ``n``) sparse set of ANY branch is therefore
+slabs ``{j ≡ g (mod r)}`` x one contiguous ``t``-range: pure
+sublane-addressable views of a single comb-resident copy.
+
+Per grid step (one ``bh = batch*head``):
+
+1. the full comb (S, D) q/k/v blocks stream into VMEM;
+2. a python-unrolled loop over branches/segments assembles each sparse
+   segment's K/V (and its key-bias row) from slab slices into VMEM
+   scratch, runs one-shot-softmax attention per q sub-block
+   (``_attend_block`` from ops/dilated_fused), and **online-mixes** the
+   result into a running (acc, m, Z) accumulator with the same
+   running-max/rescale algebra flash attention uses along keys —
+   branches simply become another reduction axis
+   (``scattering``'s softmax(lse) mix, reference
+   ``dilated_attention.py:113-144``, computed associatively);
+3. the epilogue writes the mixed output once, plus a packed
+   ``(n_branches + 2, S)`` stats plane (per-branch lse, m, Z) for the
+   backward.
+
+Segment boundaries that are not 8-row aligned (w/R = 362 on the
+flagship schedule) are handled with aligned *windows* plus static
+validity masks: out-of-segment keys get NEG_INF bias, out-of-segment
+query rows get lse = NEG_INF, and the online-mix update is a no-op for
+lse = NEG_INF rows, so overlapping windows are idempotent.
+
+The backward mirrors the loop: one kernel accumulates dq/dk/dv into
+VMEM (S, D) fp32 accumulators (recomputing probabilities from the saved
+per-branch lse and demixing with stop-gradient weights
+``exp(lse_b - m)/Z``, like the reference's ``torch.no_grad`` mix) and
+writes each gradient exactly once.
+
+Compared to the per-branch decomposition this deletes all slc/comb_r
+relayouts and pads (~125 ms/step of XLA copies at the 10k flagship
+step, see docs/perf_analysis_r3.md), the per-branch compact HBM
+arrays, and the separate mix/combine kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.ad_checkpoint import checkpoint_name
+
+from .flash_attention import NEG_INF, _MASK_THRESHOLD, _mm_precision
+from .dilated_fused import (_attend_block, _kernel_params, comb, uncomb,
+                            to_head_major, from_head_major)
+
+try:  # TPU backend optional (CPU tests run interpret mode)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+_FWD_SCORE_BUDGET = 6 * 1024 * 1024
+_BWD_SCORE_BUDGET = 4 * 1024 * 1024
+_MAX_BQ = 512
+_MAX_BRANCHES = 8          # stats lanes in the (S, 8) lse scratch
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_bq(wr: int, budget: int) -> int:
+    bq = _MAX_BQ
+    while bq > 8 and bq * wr * 4 > budget:
+        bq //= 2
+    return bq if bq * wr * 4 <= budget else -1
+
+
+class _Seg:
+    """One (segment n) static window of a branch: aligned row range
+    [kt0, kt1) per slab with the real segment at [t0, t1)."""
+
+    def __init__(self, t0: int, t1: int, MB: int):
+        self.t0, self.t1 = t0, t1
+        self.kt0 = (t0 // 8) * 8
+        self.kt1 = min(_round_up(t1, 8), MB)
+        self.krows = self.kt1 - self.kt0
+        self.exact = (self.kt0 == t0 and self.kt1 == t1)
+
+
+class _MegaPlan:
+    """Static geometry of one branch inside the mega kernel."""
+
+    def __init__(self, w: int, r: int, S: int, R: int):
+        self.w, self.r, self.R = w, r, R
+        MB = S // R
+        self.cw = w // R               # segment rows per slab
+        self.nk = R // r               # slabs per head group
+        self.nseg = -(-S // w)
+        self.segs = [_Seg(n * self.cw, min((n + 1) * self.cw, MB), MB)
+                     for n in range(self.nseg)]
+        self.max_wr = max(self.nk * s.krows for s in self.segs)
+
+
+def make_mega_plans(S: int, segment_lengths: Sequence[int],
+                    dilated_ratios: Sequence[int]
+                    ) -> Tuple[int, List[_MegaPlan]]:
+    R = max(int(r) for r in dilated_ratios)
+    plans = [_MegaPlan(min(int(w), S), int(r), S, R)
+             for w, r in zip(segment_lengths, dilated_ratios)]
+    return R, plans
+
+
+def mega_eligible(S: int, H: int, D: int,
+                  segment_lengths: Sequence[int],
+                  dilated_ratios: Sequence[int]) -> bool:
+    """Static-shape eligibility for the mega kernel."""
+    if pl is None or len(segment_lengths) != len(dilated_ratios):
+        return False
+    if len(segment_lengths) > _MAX_BRANCHES:
+        return False
+    R = max(int(r) for r in dilated_ratios)
+    if R < 2 or S % R or (S // R) % 8:
+        return False
+    if not any(int(r) == 1 for r in dilated_ratios):
+        return False               # mix semantics assume full coverage
+    for w, r in zip(segment_lengths, dilated_ratios):
+        w, r = min(int(w), S), int(r)
+        if w % R or H % r or R % r or w // R < 1:
+            return False
+        plan = _MegaPlan(w, r, S, R)
+        if plan.max_wr > 8192:
+            return False
+        if _pick_bq(plan.max_wr, _FWD_SCORE_BUDGET) < 8:
+            return False
+        if _pick_bq(plan.max_wr, _BWD_SCORE_BUDGET) < 8:
+            return False
+    return True
+
+
+def _fori_ok(p: "_MegaPlan") -> bool:
+    """Segments can run under one fori_loop body when every window is
+    exact and equal-sized (keeps the Mosaic program compact for the
+    many-segment r=1 branch)."""
+    return (p.nseg > 2 and all(s.exact for s in p.segs)
+            and len({s.krows for s in p.segs}) == 1)
+
+
+_RS_CHUNK = 128
+
+
+def _col_to_row(dst_ref, row_idx: int, col_ref, lane_idx: int, S: int):
+    """dst_ref[0, row_idx, :] = col_ref[:, lane_idx], as bounded-size
+    (C, 1) -> (1, C) reshapes. A single full-length column<->row
+    relayout compiles O(S^2) in Mosaic (measured 17 s per (4096, 1)
+    reshape); chunking makes it linear."""
+    for t in range(0, S, _RS_CHUNK):
+        c = min(_RS_CHUNK, S - t)
+        dst_ref[0, row_idx:row_idx + 1, t:t + c] = \
+            col_ref[pl.ds(t, c), lane_idx:lane_idx + 1].reshape(1, c)
+
+
+def _row_to_col(dst_ref, lane_idx: int, src_ref, row_idx: int, S: int):
+    """dst_ref[:, lane_idx] = src_ref[0, row_idx, :], chunked."""
+    for t in range(0, S, _RS_CHUNK):
+        c = min(_RS_CHUNK, S - t)
+        dst_ref[pl.ds(t, c), lane_idx:lane_idx + 1] = \
+            src_ref[0, row_idx:row_idx + 1, t:t + c].reshape(c, 1)
+
+
+def _iota_key_bias(kt0: int, krows: int, wr: int, t0: int, t1: int):
+    """(1, wr) fp32 additive bias masking window rows outside the real
+    segment [t0, t1). Computed from iota in-kernel — Pallas rejects
+    captured constant arrays."""
+    x = jax.lax.broadcasted_iota(jnp.int32, (1, wr), 1)
+    t = kt0 + x % krows
+    return jnp.where((t >= t0) & (t < t1), 0.0,
+                     jnp.float32(NEG_INF))
+
+
+def _iota_q_valid(base: int, rows: int, t0: int, t1: int):
+    """(rows, 1) bool validity of window q rows [base, base+rows)."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + base
+    return (t >= t0) & (t < t1)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
+                   S: int, H: int, scale: float, interpret: bool):
+    """q_c/k_c/v_c: (BH, S, D) comb order; bias_c: (B, 1, S) fp32 comb
+    order (0 valid / NEG_INF masked key). -> (out (BH, S, D) q.dtype,
+    stats (BH, nbr+2, S) fp32: rows 0..nbr-1 per-branch lse (NEG_INF at
+    uncovered rows), row nbr = m, nbr+1 = Z)."""
+    BH, _, D = q_c.shape
+    R = plans[0].R
+    MB = S // R
+    nbr = len(plans)
+    max_wr = max(p.max_wr for p in plans)
+
+    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, st_ref,
+               acc, mcol, zcol, lsc, ks, vs, bcol):
+        bh = pl.program_id(0)
+        h = bh % H
+        acc[...] = jnp.zeros_like(acc)
+        mcol[...] = jnp.full_like(mcol, NEG_INF)
+        zcol[...] = jnp.zeros_like(zcol)
+        lsc[...] = jnp.full_like(lsc, NEG_INF)
+        _row_to_col(bcol, 0, b_ref, 0, S)
+
+        for bi, p in enumerate(plans):
+            hg = H // p.r
+            g = (h % H) // hg if p.r > 1 else 0
+            bq = _pick_bq(p.max_wr, _FWD_SCORE_BUDGET)
+
+            def seg_body(kt0, krows, tseg, *, p=p, g=g, bq=bq,
+                         bi=bi):
+                wr = p.nk * krows
+
+                # assemble K/V and the key-bias row for this (g, seg);
+                # the slab index is traced so the body is emitted once
+                # (program size governs the server-side Mosaic compile)
+                def asm(c, _):
+                    j = g + c * p.r
+                    src = pl.ds(j * MB + kt0, krows)
+                    ks[pl.ds(c * krows, krows), :] = k_ref[0, src, :]
+                    vs[pl.ds(c * krows, krows), :] = v_ref[0, src, :]
+                    lsc[pl.ds(c * krows, krows),
+                        nbr + 2:nbr + 3] = bcol[src, 0:1]
+                    return 0
+
+                jax.lax.fori_loop(0, p.nk, asm, 0)
+                brow = lsc[pl.ds(0, wr), nbr + 2:nbr + 3].reshape(1, wr)
+                if tseg is not None:
+                    brow = brow + _iota_key_bias(kt0, krows, wr, *tseg)
+                kk = ks[pl.ds(0, wr), :]
+                vv = vs[pl.ds(0, wr), :]
+
+                def compute(c, _):
+                    j = g + c * p.r
+                    for q0 in range(0, krows, bq):
+                        rows = min(bq, krows - q0)
+                        sl = pl.ds(j * MB + kt0 + q0, rows)
+                        qi = (q_ref[0, sl, :].astype(jnp.float32) *
+                              scale).astype(ks.dtype)
+                        # window-overlap rows belong to the adjacent
+                        # segment: force their lse to NEG_INF so the
+                        # mix update is a no-op for them
+                        lval = None
+                        if tseg is not None:
+                            lval = _iota_q_valid(kt0 + q0, rows, *tseg)
+                        o, lse = _attend_block(qi, kk, vv, brow,
+                                               scale, lval)
+                        # online cross-branch mix (scattering,
+                        # dilated_attention.py:113-144, associative)
+                        m_old = mcol[sl, :]
+                        z_old = zcol[sl, :]
+                        a_old = acc[sl, :]
+                        m_new = jnp.maximum(m_old, lse)
+                        m_safe = jnp.maximum(m_new,
+                                             jnp.float32(_MASK_THRESHOLD))
+                        corr = jnp.exp(m_old - m_safe)
+                        wb = jnp.exp(lse - m_safe)
+                        acc[sl, :] = a_old * corr + wb * o
+                        zcol[sl, :] = z_old * corr + wb
+                        mcol[sl, :] = m_new
+                        # keep the window-overlap winner: invalid rows
+                        # carry NEG_INF, so max preserves the real lse
+                        prev = lsc[sl, bi:bi + 1]
+                        lsc[sl, bi:bi + 1] = jnp.maximum(prev, lse)
+                    return 0
+
+                jax.lax.fori_loop(0, p.nk, compute, 0)
+
+            if _fori_ok(p):
+                cw = p.cw
+
+                def loop(n, _, body=seg_body, cw=cw):
+                    body(n * cw, cw, None)
+                    return 0
+
+                jax.lax.fori_loop(0, p.nseg, loop, 0)
+            else:
+                for seg in p.segs:
+                    tseg = None if seg.exact else (seg.t0, seg.t1)
+                    seg_body(seg.kt0, seg.krows, tseg)
+
+        z = zcol[...]
+        zsafe = jnp.where(z > 0, z, 1.0)
+        o_ref[0] = (acc[...] / zsafe).astype(o_ref.dtype)
+        for bi in range(nbr):
+            _col_to_row(st_ref, bi, lsc, bi, S)
+        _col_to_row(st_ref, nbr, mcol, 0, S)
+        _col_to_row(st_ref, nbr + 1, zcol, 0, S)
+
+    out, stats = pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda bh: (bh // H, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, nbr + 2, S), lambda bh: (bh, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S, D), q_c.dtype),
+            jax.ShapeDtypeStruct((BH, nbr + 2, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, D), jnp.float32),       # acc
+            pltpu.VMEM((S, 1), jnp.float32),       # m
+            pltpu.VMEM((S, 1), jnp.float32),       # Z
+            # lanes 0..nbr-1: per-branch lse; lane nbr+2: bias-assembly
+            pltpu.VMEM((S, _MAX_BRANCHES + 3), jnp.float32),
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled K
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
+            pltpu.VMEM((S, 1), jnp.float32),       # bias column
+        ],
+        compiler_params=_kernel_params(),
+        interpret=interpret,
+    )(q_c, k_c, v_c, bias_c)
+    return out, stats
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
+                   dmix_c, stats, S: int, H: int, scale: float,
+                   interpret: bool):
+    """-> (dq, dk, dv) each (BH, S, D) in q.dtype, comb order."""
+    BH, _, D = q_c.shape
+    R = plans[0].R
+    MB = S // R
+    nbr = len(plans)
+    max_wr = max(p.max_wr for p in plans)
+
+    def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
+               dq_ref, dk_ref, dv_ref,
+               dqa, dka, dva, lsc, mcol, zcol, ks, vs, dks, dvs):
+        bh = pl.program_id(0)
+        h = bh % H
+        dqa[...] = jnp.zeros_like(dqa)
+        dka[...] = jnp.zeros_like(dka)
+        dva[...] = jnp.zeros_like(dva)
+        for bi in range(nbr):
+            _row_to_col(lsc, bi, st_ref, bi, S)
+        _row_to_col(mcol, 0, st_ref, nbr, S)
+        _row_to_col(zcol, 0, st_ref, nbr + 1, S)
+        # bias column rides the spare lse lane
+        _row_to_col(lsc, nbr + 2, b_ref, 0, S)
+
+        for bi, p in enumerate(plans):
+            hg = H // p.r
+            g = (h % H) // hg if p.r > 1 else 0
+            bq = _pick_bq(p.max_wr, _BWD_SCORE_BUDGET)
+
+            def seg_body(kt0, krows, tseg, *, p=p, g=g, bq=bq,
+                         bi=bi):
+                wr = p.nk * krows
+
+                def asm(c, _):
+                    j = g + c * p.r
+                    src = pl.ds(j * MB + kt0, krows)
+                    ks[pl.ds(c * krows, krows), :] = k_ref[0, src, :]
+                    vs[pl.ds(c * krows, krows), :] = v_ref[0, src, :]
+                    lsc[pl.ds(c * krows, krows),
+                        nbr + 4:nbr + 5] = lsc[src, nbr + 2:nbr + 3]
+                    return 0
+
+                jax.lax.fori_loop(0, p.nk, asm, 0)
+                brow = lsc[pl.ds(0, wr), nbr + 4:nbr + 5].reshape(1, wr)
+                if tseg is not None:
+                    brow = brow + _iota_key_bias(kt0, krows, wr, *tseg)
+                kk = ks[pl.ds(0, wr), :]
+                vv = vs[pl.ds(0, wr), :]
+                dks[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
+                dvs[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
+
+                def compute(c, _):
+                    j = g + c * p.r
+                    for q0 in range(0, krows, bq):
+                        rows = min(bq, krows - q0)
+                        sl = pl.ds(j * MB + kt0 + q0, rows)
+                        qi = (q_ref[0, sl, :].astype(jnp.float32) *
+                              scale).astype(ks.dtype)
+                        lse_i = lsc[sl, bi:bi + 1]
+                        m_i = mcol[sl, :]
+                        z_i = zcol[sl, :]
+                        dmix_i = dm_ref[0, sl, :].astype(jnp.float32)
+                        s = jax.lax.dot_general(
+                            qi, kk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(kk.dtype))
+                        s = s + brow
+                        valid = lse_i > _MASK_THRESHOLD
+                        if tseg is not None:
+                            valid = valid & _iota_q_valid(
+                                kt0 + q0, rows, *tseg)
+                        lse_exp = jnp.where(
+                            valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
+                        pmat = jnp.exp(s - lse_exp)
+                        pmat = jnp.where(valid, pmat, 0.0)
+                        zsafe = jnp.where(z_i > 0, z_i, 1.0)
+                        wm = jnp.where(valid,
+                                       jnp.exp(lse_i - m_i) / zsafe, 0.0)
+                        do = dmix_i * wm
+                        pb = pmat.astype(vs.dtype)
+                        dob = do.astype(vs.dtype)
+                        dp = jax.lax.dot_general(
+                            dob, vv, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(vv.dtype))
+                        delta = jnp.sum(pmat * dp, axis=-1,
+                                        keepdims=True)
+                        ds_ = pmat * (dp - delta)
+                        dsb = ds_.astype(ks.dtype)
+                        dq_i = jax.lax.dot_general(
+                            dsb, kk, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(kk.dtype)) * scale
+                        dqa[sl, :] += dq_i
+                        dks[pl.ds(0, wr), :] += jax.lax.dot_general(
+                            dsb, qi, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(kk.dtype))
+                        dvs[pl.ds(0, wr), :] += jax.lax.dot_general(
+                            pb, dob, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(vv.dtype))
+                    return 0
+
+                jax.lax.fori_loop(0, p.nk, compute, 0)
+
+                def scatter(c, _):
+                    j = g + c * p.r
+                    dst = pl.ds(j * MB + kt0, krows)
+                    dka[dst, :] += dks[pl.ds(c * krows, krows), :]
+                    dva[dst, :] += dvs[pl.ds(c * krows, krows), :]
+                    return 0
+
+                jax.lax.fori_loop(0, p.nk, scatter, 0)
+
+            if _fori_ok(p):
+                cw = p.cw
+
+                def loop(n, _, body=seg_body, cw=cw):
+                    body(n * cw, cw, None)
+                    return 0
+
+                jax.lax.fori_loop(0, p.nseg, loop, 0)
+            else:
+                for seg in p.segs:
+                    tseg = None if seg.exact else (seg.t0, seg.t1)
+                    seg_body(seg.kt0, seg.krows, tseg)
+
+        dq_ref[0] = dqa[...].astype(dq_ref.dtype)
+        dk_ref[0] = dka[...].astype(dk_ref.dtype)
+        dv_ref[0] = dva[...].astype(dv_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda bh: (bh // H, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, nbr + 2, S), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0))
+                   for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct((BH, S, D), q_c.dtype)
+                   for _ in range(3)],
+        scratch_shapes=[
+            pltpu.VMEM((S, D), jnp.float32),       # dq acc
+            pltpu.VMEM((S, D), jnp.float32),       # dk acc
+            pltpu.VMEM((S, D), jnp.float32),       # dv acc
+            # lanes 0..nbr-1 lse; nbr+2 bias col; nbr+4 assembled bias
+            pltpu.VMEM((S, _MAX_BRANCHES + 5), jnp.float32),
+            pltpu.VMEM((S, 1), jnp.float32),       # m
+            pltpu.VMEM((S, 1), jnp.float32),       # Z
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled K
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
+            pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc
+            pltpu.VMEM((max_wr, D), jnp.float32),  # dv segment acc
+        ],
+        compiler_params=_kernel_params(),
+        interpret=interpret,
+    )(q_c, k_c, v_c, bias_c, dmix_c, stats)
+
+
+# ---------------------------------------------------------------------------
+# Top-level op (custom VJP per static configuration)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_mega(B: int, S: int, H: int, D: int,
+                segments: Tuple[int, ...], ratios: Tuple[int, ...],
+                scale: float, interpret: bool):
+    R, plans = make_mega_plans(S, segments, ratios)
+
+    def fwd_impl(qn, kn, vn, vmask):
+        qc, kc, vc = comb(qn, R), comb(kn, R), comb(vn, R)
+        bias = jnp.where(comb(vmask, R) > 0.5, 0.0, NEG_INF
+                         ).astype(jnp.float32)[:, None, :]
+        out, stats = _mega_fwd_call(plans, qc, kc, vc, bias, S, H,
+                                    scale, interpret)
+        out = checkpoint_name(out, "dilated_out")
+        stats = checkpoint_name(stats, "dilated_stats")
+        return uncomb(out, R), (qn, kn, vn, vmask, stats)
+
+    def bwd_impl(res, g):
+        qn, kn, vn, vmask, stats = res
+        qc, kc, vc = comb(qn, R), comb(kn, R), comb(vn, R)
+        bias = jnp.where(comb(vmask, R) > 0.5, 0.0, NEG_INF
+                         ).astype(jnp.float32)[:, None, :]
+        dmix = comb(g, R)
+        dq, dk, dv = _mega_bwd_call(plans, qc, kc, vc, bias, dmix,
+                                    stats, S, H, scale, interpret)
+        return (uncomb(dq, R), uncomb(dk, R), uncomb(dv, R),
+                jnp.zeros_like(vmask))
+
+    @jax.custom_vjp
+    def f(qn, kn, vn, vmask):
+        return fwd_impl(qn, kn, vn, vmask)[0]
+
+    f.defvjp(fwd_impl, bwd_impl)
+    return f
+
+
+def mega_dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
+                           dilated_ratios: Sequence[int],
+                           mask: Optional[jax.Array] = None,
+                           scale: Optional[float] = None,
+                           interpret: bool = False) -> jax.Array:
+    """Multi-branch LongNet dilated attention, single-kernel (TPU).
+
+    Same semantics as :func:`ops.dilated.dilated_attention` (the oracle
+    in tests): q/k/v ``(B, L, H, D)``, optional ``(B, L)`` bool validity
+    mask, output ``(B, L, H, D)`` in q's dtype. Check
+    :func:`mega_eligible` first.
+    """
+    B, S, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    fn = _build_mega(B, S, H, D,
+                     tuple(int(x) for x in segment_lengths),
+                     tuple(int(x) for x in dilated_ratios),
+                     float(scale), bool(interpret))
+    vmask = jnp.ones((B, S), jnp.float32) if mask is None else \
+        mask.astype(jnp.float32)
+    # the (B, S) mask must follow the same comb permutation as tokens,
+    # so expand it to head-major rows first
+    vm_bh = vmask
+    out = fn(to_head_major(q), to_head_major(k), to_head_major(v),
+             vm_bh)
+    return from_head_major(out, B, H)
