@@ -76,6 +76,12 @@ class LongNetConfig:
     # LSE-mix kernel, ops/dilated_fused.py); used when the shapes are
     # eligible and the backend is TPU, else falls back to ops/dilated.py
     fused_attention: bool = True
+    # single-kernel mega attention (all branches + online mix in one
+    # pallas_call over one comb-resident copy of q/k/v,
+    # ops/dilated_mega.py); preferred over the per-branch fused kernels
+    # when eligible — deletes the per-branch relayout copies that
+    # dominate the fused path's step time. Gated under fused_attention.
+    mega_attention: bool = True
     # LoRA-adapter encoder variant: per-modality (img/gene/task) LoRA
     # deltas on q/k/v (LongNetLoraAdapterEncoder, LongNet.py:85-177;
     # selected by ``lora_adapter`` at slide_encoder.py:101)

@@ -37,6 +37,7 @@ from ..configs import LongNetConfig
 # implementation is net faster for training on current XLA/Mosaic.
 from ..ops import dilated_attention
 from ..ops.dilated_fused import fused_dilated_attention, fused_eligible
+from ..ops.dilated_mega import mega_dilated_attention, mega_eligible
 from ..ops.flash_attention import get_flash_mode
 
 
@@ -58,13 +59,18 @@ class DilatedSelfAttention(nn.Module):
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
         b, l = x.shape[0], x.shape[1]
         split = lambda t: t.reshape(b, l, c.num_heads, c.head_dim)
-        use_fused = (c.fused_attention and get_flash_mode() != "xla"
-                     and jax.default_backend() == "tpu"
-                     and fused_eligible(l, c.num_heads, c.head_dim,
-                                        c.segment_lengths,
-                                        c.dilated_ratios))
-        attn = fused_dilated_attention if use_fused else \
-            functools.partial(dilated_attention, use_pallas=None)
+        pallas_ok = (c.fused_attention and get_flash_mode() != "xla"
+                     and jax.default_backend() == "tpu")
+        if pallas_ok and c.mega_attention and mega_eligible(
+                l, c.num_heads, c.head_dim, c.segment_lengths,
+                c.dilated_ratios):
+            attn = mega_dilated_attention
+        elif pallas_ok and fused_eligible(l, c.num_heads, c.head_dim,
+                                          c.segment_lengths,
+                                          c.dilated_ratios):
+            attn = fused_dilated_attention
+        else:
+            attn = functools.partial(dilated_attention, use_pallas=None)
         out = attn(
             split(q), split(k), split(v),
             segment_lengths=c.segment_lengths,
