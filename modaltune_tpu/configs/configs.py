@@ -82,6 +82,14 @@ class LongNetConfig:
     # when eligible — deletes the per-branch relayout copies that
     # dominate the fused path's step time. Gated under fused_attention.
     mega_attention: bool = True
+    # sequence parallelism for the fused path: (batch_axis, seq_axis)
+    # mesh-axis names; when the ambient mesh (jax.set_mesh) carries
+    # them, dilated attention runs as a shard_map island — all-gather
+    # K/V over `seq`, device-local mega kernel on the shard's query
+    # rows (ops/dilated_sp.py; the reference gather_kv equivalent,
+    # dilated_attention.py:61-80). None = GSPMD/XLA handles sequence
+    # sharding (requires the XLA attention path).
+    seq_axes: Optional[Tuple[str, str]] = None
     # LoRA-adapter encoder variant: per-modality (img/gene/task) LoRA
     # deltas on q/k/v (LongNetLoraAdapterEncoder, LongNet.py:85-177;
     # selected by ``lora_adapter`` at slide_encoder.py:101)
@@ -122,6 +130,7 @@ class SlideEncoderConfig:
     drop_path_rate: float = 0.1
     norm_eps: float = 1e-6          # the ViT-level output LayerNorm
     fused_attention: bool = True    # forwarded into LongNetConfig
+    seq_axes: Optional[Tuple[str, str]] = None  # forwarded (seq-parallel)
 
     def longnet(self, **overrides) -> LongNetConfig:
         base = dict(
@@ -130,6 +139,7 @@ class SlideEncoderConfig:
             ffn_dim=int(self.embed_dim * self.mlp_ratio),
             num_heads=16,
             fused_attention=self.fused_attention,
+            seq_axes=self.seq_axes,
             segment_lengths=optimal_segment_lengths(self.max_wsi_size,
                                                     self.tile_size),
             dropout=self.dropout,

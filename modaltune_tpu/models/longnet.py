@@ -38,6 +38,7 @@ from ..configs import LongNetConfig
 from ..ops import dilated_attention
 from ..ops.dilated_fused import fused_dilated_attention, fused_eligible
 from ..ops.dilated_mega import mega_dilated_attention, mega_eligible
+from ..ops.dilated_sp import sp_island_attention
 from ..ops.flash_attention import get_flash_mode
 
 
@@ -59,23 +60,35 @@ class DilatedSelfAttention(nn.Module):
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
         b, l = x.shape[0], x.shape[1]
         split = lambda t: t.reshape(b, l, c.num_heads, c.head_dim)
-        pallas_ok = (c.fused_attention and get_flash_mode() != "xla"
-                     and jax.default_backend() == "tpu")
-        if pallas_ok and c.mega_attention and mega_eligible(
-                l, c.num_heads, c.head_dim, c.segment_lengths,
-                c.dilated_ratios):
-            attn = mega_dilated_attention
-        elif pallas_ok and fused_eligible(l, c.num_heads, c.head_dim,
-                                          c.segment_lengths,
-                                          c.dilated_ratios):
-            attn = fused_dilated_attention
-        else:
-            attn = functools.partial(dilated_attention, use_pallas=None)
-        out = attn(
-            split(q), split(k), split(v),
-            segment_lengths=c.segment_lengths,
-            dilated_ratios=c.dilated_ratios,
-            mask=mask if c.mask_padding else None)
+        out = None
+        if c.seq_axes is not None and c.fused_attention and \
+                get_flash_mode() != "xla":
+            out = sp_island_attention(
+                split(q), split(k), split(v),
+                mask if c.mask_padding else None,
+                segment_lengths=c.segment_lengths,
+                dilated_ratios=c.dilated_ratios,
+                batch_axis=c.seq_axes[0], seq_axis=c.seq_axes[1])
+        if out is None:
+            pallas_ok = (c.fused_attention and get_flash_mode() != "xla"
+                         and jax.default_backend() == "tpu")
+            if pallas_ok and c.mega_attention and mega_eligible(
+                    l, c.num_heads, c.head_dim, c.segment_lengths,
+                    c.dilated_ratios):
+                attn = mega_dilated_attention
+            elif pallas_ok and fused_eligible(l, c.num_heads,
+                                              c.head_dim,
+                                              c.segment_lengths,
+                                              c.dilated_ratios):
+                attn = fused_dilated_attention
+            else:
+                attn = functools.partial(dilated_attention,
+                                         use_pallas=None)
+            out = attn(
+                split(q), split(k), split(v),
+                segment_lengths=c.segment_lengths,
+                dilated_ratios=c.dilated_ratios,
+                mask=mask if c.mask_padding else None)
         out = out.reshape(b, l, d)
         if c.subln:
             out = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,

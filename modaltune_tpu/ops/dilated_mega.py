@@ -157,6 +157,43 @@ def _fori_ok(p: "_MegaPlan") -> bool:
             and len({s.krows for s in p.segs}) == 1)
 
 
+def _seg_work(p: "_MegaPlan", tq0: int, tq1: int):
+    """Static per-branch work list restricted to q rows [tq0, tq1) (per
+    slab, comb units). Keys always span the full segment; only the q
+    loop is clipped — the sequence-parallel decomposition (a device owns
+    a contiguous token range == one contiguous comb-row range per slab).
+
+    Returns ``(fori_range, unrolled)``: ``fori_range`` is an optional
+    ``(n0, n1)`` of whole segments that run under one fori body exactly
+    like the unrestricted kernel; ``unrolled`` is a list of
+    ``(kt0, krows, kseg, qm)`` windows — ``kseg`` the real key bounds
+    (None if the window is exact), ``qm`` the merged q-validity bounds
+    (None if every window row is a valid local q row)."""
+    out = []
+    fori = None
+    if _fori_ok(p):
+        cw = p.cw
+        n_lo, n_hi = tq0 // cw, -(-tq1 // cw)      # covering segments
+        n0 = n_lo + (1 if tq0 % cw else 0)         # interior whole segs
+        n1 = n_hi - (1 if tq1 % cw else 0)
+        if n1 > n0:
+            fori = (n0, n1)
+        covering = [n for n in range(n_lo, n_hi)
+                    if not (n0 <= n < n1)]
+        segs = [(p.segs[n], n) for n in covering]
+    else:
+        segs = [(s, n) for n, s in enumerate(p.segs)
+                if min(s.t1, tq1) > max(s.t0, tq0)]
+    for s, _n in segs:
+        qv0, qv1 = max(s.t0, tq0), min(s.t1, tq1)
+        if qv1 <= qv0:
+            continue
+        kseg = None if s.exact else (s.t0, s.t1)
+        qm = None if (qv0 == s.kt0 and qv1 == s.kt1) else (qv0, qv1)
+        out.append((s.kt0, s.krows, kseg, qm))
+    return fori, out
+
+
 _RS_CHUNK = 128
 
 
@@ -201,16 +238,24 @@ def _iota_q_valid(base: int, rows: int, t0: int, t1: int):
 
 
 def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
-                   S: int, H: int, scale: float, interpret: bool):
+                   S: int, H: int, scale: float, interpret: bool,
+                   qrange: Optional[Tuple[int, int]] = None):
     """q_c/k_c/v_c: (BH, S, D) comb order; bias_c: (B, 1, S) fp32 comb
     order (0 valid / NEG_INF masked key). -> (out (BH, S, D) q.dtype,
     stats (BH, nbr+2, S) fp32: rows 0..nbr-1 per-branch lse (NEG_INF at
-    uncovered rows), row nbr = m, nbr+1 = Z)."""
+    uncovered rows), row nbr = m, nbr+1 = Z).
+
+    ``qrange``: optional static (tq0, tq1) per-slab comb-row bounds —
+    only q rows in the range are computed (sequence-parallel shards own
+    a contiguous token range == one contiguous comb-row range per slab);
+    keys still span full segments. Out/stats rows outside the range are
+    zero/NEG_INF-initialized garbage the caller must slice away."""
     BH, _, D = q_c.shape
     R = plans[0].R
     MB = S // R
     nbr = len(plans)
     max_wr = max(p.max_wr for p in plans)
+    tq0, tq1 = (0, MB) if qrange is None else qrange
 
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, st_ref,
                acc, mcol, zcol, lsc, ks, vs, bcol):
@@ -227,7 +272,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             g = (h % H) // hg if p.r > 1 else 0
             bq = _pick_bq(p.max_wr, _FWD_SCORE_BUDGET)
 
-            def seg_body(kt0, krows, tseg, *, p=p, g=g, bq=bq,
+            def seg_body(kt0, krows, kseg, qm, *, p=p, g=g, bq=bq,
                          bi=bi):
                 wr = p.nk * krows
 
@@ -245,24 +290,29 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
                 brow = lsc[pl.ds(0, wr), nbr + 2:nbr + 3].reshape(1, wr)
-                if tseg is not None:
-                    brow = brow + _iota_key_bias(kt0, krows, wr, *tseg)
+                if kseg is not None:
+                    brow = brow + _iota_key_bias(kt0, krows, wr, *kseg)
                 kk = ks[pl.ds(0, wr), :]
                 vv = vs[pl.ds(0, wr), :]
+                if qm is None:
+                    q_lo, q_hi = 0, krows
+                else:
+                    q_lo = max(0, (qm[0] // 8) * 8 - kt0)
+                    q_hi = min(krows, _round_up(qm[1], 8) - kt0)
 
                 def compute(c, _):
                     j = g + c * p.r
-                    for q0 in range(0, krows, bq):
-                        rows = min(bq, krows - q0)
+                    for q0 in range(q_lo, q_hi, bq):
+                        rows = min(bq, q_hi - q0)
                         sl = pl.ds(j * MB + kt0 + q0, rows)
                         qi = (q_ref[0, sl, :].astype(jnp.float32) *
                               scale).astype(ks.dtype)
                         # window-overlap rows belong to the adjacent
-                        # segment: force their lse to NEG_INF so the
-                        # mix update is a no-op for them
+                        # segment (or another seq shard): force their
+                        # lse to NEG_INF so the mix update is a no-op
                         lval = None
-                        if tseg is not None:
-                            lval = _iota_q_valid(kt0 + q0, rows, *tseg)
+                        if qm is not None:
+                            lval = _iota_q_valid(kt0 + q0, rows, *qm)
                         o, lse = _attend_block(qi, kk, vv, brow,
                                                scale, lval)
                         # online cross-branch mix (scattering,
@@ -286,18 +336,17 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
                 jax.lax.fori_loop(0, p.nk, compute, 0)
 
-            if _fori_ok(p):
+            fori, unrolled = _seg_work(p, tq0, tq1)
+            if fori is not None:
                 cw = p.cw
 
                 def loop(n, _, body=seg_body, cw=cw):
-                    body(n * cw, cw, None)
+                    body(n * cw, cw, None, None)
                     return 0
 
-                jax.lax.fori_loop(0, p.nseg, loop, 0)
-            else:
-                for seg in p.segs:
-                    tseg = None if seg.exact else (seg.t0, seg.t1)
-                    seg_body(seg.kt0, seg.krows, tseg)
+                jax.lax.fori_loop(fori[0], fori[1], loop, 0)
+            for kt0, krows, kseg, qm in unrolled:
+                seg_body(kt0, krows, kseg, qm)
 
         z = zcol[...]
         zsafe = jnp.where(z > 0, z, 1.0)
@@ -347,13 +396,19 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
 def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                    dmix_c, stats, S: int, H: int, scale: float,
-                   interpret: bool):
-    """-> (dq, dk, dv) each (BH, S, D) in q.dtype, comb order."""
+                   interpret: bool,
+                   qrange: Optional[Tuple[int, int]] = None):
+    """-> (dq, dk, dv) each (BH, S, D) in q.dtype, comb order.
+
+    With ``qrange`` only local q rows contribute: dq rows outside the
+    range are zero, and dk/dv hold only this shard's partial sums (the
+    caller reduce-scatters them over the seq axis)."""
     BH, _, D = q_c.shape
     R = plans[0].R
     MB = S // R
     nbr = len(plans)
     max_wr = max(p.max_wr for p in plans)
+    tq0, tq1 = (0, MB) if qrange is None else qrange
 
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
                dq_ref, dk_ref, dv_ref,
@@ -375,7 +430,7 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             g = (h % H) // hg if p.r > 1 else 0
             bq = _pick_bq(p.max_wr, _BWD_SCORE_BUDGET)
 
-            def seg_body(kt0, krows, tseg, *, p=p, g=g, bq=bq,
+            def seg_body(kt0, krows, kseg, qm, *, p=p, g=g, bq=bq,
                          bi=bi):
                 wr = p.nk * krows
 
@@ -390,17 +445,22 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
                 brow = lsc[pl.ds(0, wr), nbr + 4:nbr + 5].reshape(1, wr)
-                if tseg is not None:
-                    brow = brow + _iota_key_bias(kt0, krows, wr, *tseg)
+                if kseg is not None:
+                    brow = brow + _iota_key_bias(kt0, krows, wr, *kseg)
                 kk = ks[pl.ds(0, wr), :]
                 vv = vs[pl.ds(0, wr), :]
                 dks[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
                 dvs[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
+                if qm is None:
+                    q_lo, q_hi = 0, krows
+                else:
+                    q_lo = max(0, (qm[0] // 8) * 8 - kt0)
+                    q_hi = min(krows, _round_up(qm[1], 8) - kt0)
 
                 def compute(c, _):
                     j = g + c * p.r
-                    for q0 in range(0, krows, bq):
-                        rows = min(bq, krows - q0)
+                    for q0 in range(q_lo, q_hi, bq):
+                        rows = min(bq, q_hi - q0)
                         sl = pl.ds(j * MB + kt0 + q0, rows)
                         qi = (q_ref[0, sl, :].astype(jnp.float32) *
                               scale).astype(ks.dtype)
@@ -414,9 +474,9 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                             precision=_mm_precision(kk.dtype))
                         s = s + brow
                         valid = lse_i > _MASK_THRESHOLD
-                        if tseg is not None:
+                        if qm is not None:
                             valid = valid & _iota_q_valid(
-                                kt0 + q0, rows, *tseg)
+                                kt0 + q0, rows, *qm)
                         lse_exp = jnp.where(
                             valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
                         pmat = jnp.exp(s - lse_exp)
@@ -461,18 +521,17 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
                 jax.lax.fori_loop(0, p.nk, scatter, 0)
 
-            if _fori_ok(p):
+            fori, unrolled = _seg_work(p, tq0, tq1)
+            if fori is not None:
                 cw = p.cw
 
                 def loop(n, _, body=seg_body, cw=cw):
-                    body(n * cw, cw, None)
+                    body(n * cw, cw, None, None)
                     return 0
 
-                jax.lax.fori_loop(0, p.nseg, loop, 0)
-            else:
-                for seg in p.segs:
-                    tseg = None if seg.exact else (seg.t0, seg.t1)
-                    seg_body(seg.kt0, seg.krows, tseg)
+                jax.lax.fori_loop(fori[0], fori[1], loop, 0)
+            for kt0, krows, kseg, qm in unrolled:
+                seg_body(kt0, krows, kseg, qm)
 
         dq_ref[0] = dqa[...].astype(dq_ref.dtype)
         dk_ref[0] = dka[...].astype(dk_ref.dtype)
@@ -519,7 +578,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 @functools.lru_cache(maxsize=32)
 def _build_mega(B: int, S: int, H: int, D: int,
                 segments: Tuple[int, ...], ratios: Tuple[int, ...],
-                scale: float, interpret: bool):
+                scale: float, interpret: bool,
+                qrange: Optional[Tuple[int, int]] = None):
     R, plans = make_mega_plans(S, segments, ratios)
 
     def fwd_impl(qn, kn, vn, vmask):
@@ -527,7 +587,7 @@ def _build_mega(B: int, S: int, H: int, D: int,
         bias = jnp.where(comb(vmask, R) > 0.5, 0.0, NEG_INF
                          ).astype(jnp.float32)[:, None, :]
         out, stats = _mega_fwd_call(plans, qc, kc, vc, bias, S, H,
-                                    scale, interpret)
+                                    scale, interpret, qrange=qrange)
         out = checkpoint_name(out, "dilated_out")
         stats = checkpoint_name(stats, "dilated_stats")
         return uncomb(out, R), (qn, kn, vn, vmask, stats)
@@ -539,7 +599,8 @@ def _build_mega(B: int, S: int, H: int, D: int,
                          ).astype(jnp.float32)[:, None, :]
         dmix = comb(g, R)
         dq, dk, dv = _mega_bwd_call(plans, qc, kc, vc, bias, dmix,
-                                    stats, S, H, scale, interpret)
+                                    stats, S, H, scale, interpret,
+                                    qrange=qrange)
         return (uncomb(dq, R), uncomb(dk, R), uncomb(dv, R),
                 jnp.zeros_like(vmask))
 
@@ -555,21 +616,37 @@ def mega_dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
                            dilated_ratios: Sequence[int],
                            mask: Optional[jax.Array] = None,
                            scale: Optional[float] = None,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           q_token_range: Optional[Tuple[int, int]]
+                           = None) -> jax.Array:
     """Multi-branch LongNet dilated attention, single-kernel (TPU).
 
     Same semantics as :func:`ops.dilated.dilated_attention` (the oracle
     in tests): q/k/v ``(B, L, H, D)``, optional ``(B, L)`` bool validity
     mask, output ``(B, L, H, D)`` in q's dtype. Check
     :func:`mega_eligible` first.
+
+    ``q_token_range``: static (p0, p1) token bounds (multiples of
+    ``max(dilated_ratios)``) — compute attention only for those query
+    rows against the full keys (the sequence-parallel shard's local
+    work); rows outside the range come back zero.
     """
     B, S, H, D = q.shape
     if scale is None:
         scale = D ** -0.5
+    qrange = None
+    if q_token_range is not None:
+        R = max(int(r) for r in dilated_ratios)
+        p0, p1 = q_token_range
+        if p0 % R or p1 % R:
+            raise ValueError(
+                f"q_token_range {q_token_range} must be multiples of "
+                f"R={R}")
+        qrange = (p0 // R, p1 // R)
     fn = _build_mega(B, S, H, D,
                      tuple(int(x) for x in segment_lengths),
                      tuple(int(x) for x in dilated_ratios),
-                     float(scale), bool(interpret))
+                     float(scale), bool(interpret), qrange)
     vmask = jnp.ones((B, S), jnp.float32) if mask is None else \
         mask.astype(jnp.float32)
     # the (B, S) mask must follow the same comb permutation as tokens,

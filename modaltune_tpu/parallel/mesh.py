@@ -70,8 +70,16 @@ def shard_batch(batch: dict, mesh: Mesh, with_seq: bool = False) -> dict:
             continue
         spec = specs.get(k, P(DATA_AXIS))
         ndim = jnp.ndim(v)
-        spec = P(*(list(spec) + [None] * (ndim - len(spec))))
-        out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
+        axes = list(spec) + [None] * (ndim - len(spec))
+        # device_put needs even shards; axes that don't divide (e.g. a
+        # 255-token bag on a 2-way seq axis — the model's cls concat
+        # makes it 256 *inside* the jit) stay unsharded here and GSPMD
+        # redistributes at the first in-jit constraint
+        for i, ax in enumerate(axes):
+            if ax is not None and v.shape[i] % mesh.shape[ax]:
+                axes[i] = None
+        out[k] = jax.device_put(jnp.asarray(v),
+                                NamedSharding(mesh, P(*axes)))
     return out
 
 
@@ -121,9 +129,15 @@ def make_spmd_train_step(model, cfg: TrainConfig, mesh: Mesh,
                          with_seq: bool = True):
     """GSPMD train step: jit with sharding constraints; the bag's token
     axis is sharded over ``seq`` so XLA partitions dilated attention and
-    inserts the gather_kv-equivalent collectives itself. Use with the
-    XLA attention path (set_flash_mode('xla')) — Pallas calls are
-    device-local and belong under shard_map instead."""
+    inserts the gather_kv-equivalent collectives itself.
+
+    Attention modes: with the XLA attention path any model works — XLA
+    partitions the einsums. With the fused Pallas path, build the model
+    with ``LongNetConfig.seq_axes=(DATA_AXIS, SEQ_AXIS)``: the step
+    traces under ``jax.set_mesh`` so dilated attention drops into its
+    shard_map island (all-gather K/V over ``seq`` + device-local mega
+    kernel on local query rows, ops/dilated_sp.py) while everything
+    else stays GSPMD."""
 
     def step(state: TrainState, batch: dict, text_targets, rng):
         def loss_fn(trainable):
@@ -146,7 +160,10 @@ def make_spmd_train_step(model, cfg: TrainConfig, mesh: Mesh,
         state = jax.device_put(state, rep)
         text_targets = jax.device_put(
             text_targets, NamedSharding(mesh, P(DATA_AXIS)))
-        return jitted(state, batch, text_targets, rng)
+        # ambient mesh for the shard_map attention island (traced on
+        # first call; a no-op for models without seq_axes)
+        with jax.set_mesh(mesh):
+            return jitted(state, batch, text_targets, rng)
 
     wrapped.jitted = jitted  # expose for trace-count assertions
     return wrapped
