@@ -590,13 +590,12 @@ def _build_mega(B: int, S: int, H: int, D: int,
                                     scale, interpret, qrange=qrange)
         out = checkpoint_name(out, "dilated_out")
         stats = checkpoint_name(stats, "dilated_stats")
-        return uncomb(out, R), (qn, kn, vn, vmask, stats)
+        # save the comb-layout operands: the backward reuses them
+        # directly instead of re-permuting (3 comb relayouts/layer)
+        return uncomb(out, R), (qc, kc, vc, bias, vmask, stats)
 
     def bwd_impl(res, g):
-        qn, kn, vn, vmask, stats = res
-        qc, kc, vc = comb(qn, R), comb(kn, R), comb(vn, R)
-        bias = jnp.where(comb(vmask, R) > 0.5, 0.0, NEG_INF
-                         ).astype(jnp.float32)[:, None, :]
+        qc, kc, vc, bias, vmask, stats = res
         dmix = comb(g, R)
         dq, dk, dv = _mega_bwd_call(plans, qc, kc, vc, bias, dmix,
                                     stats, S, H, scale, interpret,
