@@ -36,10 +36,38 @@ from ..configs import LongNetConfig
 # strided-scatter backward loses more than that; the reference-layout
 # implementation is net faster for training on current XLA/Mosaic.
 from ..ops import dilated_attention
-from ..ops.dilated_fused import fused_dilated_attention, fused_eligible
+from ..ops.dilated_fused import (comb, fused_dilated_attention,
+                                 fused_eligible, uncomb)
 from ..ops.dilated_mega import mega_dilated_attention, mega_eligible
 from ..ops.dilated_sp import sp_island_attention
 from ..ops.flash_attention import get_flash_mode
+
+
+def _interpret_forced() -> bool:
+    """Test hook: run the Pallas paths in interpret mode off-TPU so the
+    comb-resident wiring is exercised on the CPU suite."""
+    import os
+    return os.environ.get("MODALTUNE_PALLAS_INTERPRET", "") not in ("", "0")
+
+
+def span_comb_R(c: LongNetConfig, seq_len: int) -> Optional[int]:
+    """Max dilation ratio R if the encoder should run this sequence
+    length span-resident in the mega kernel's comb_R token order
+    (hoisting every per-layer comb/uncomb relayout out of the layer
+    loop — every op between attentions is per-token, so the stream can
+    stay permuted across a whole span); None = natural order."""
+    if (c.seq_axes is not None or c.lora_adapter
+            or not c.fused_attention
+            or not getattr(c, "mega_attention", True)):
+        return None
+    if get_flash_mode() == "xla":
+        return None
+    if jax.default_backend() != "tpu" and not _interpret_forced():
+        return None
+    if not mega_eligible(seq_len, c.num_heads, c.head_dim,
+                         c.segment_lengths, c.dilated_ratios):
+        return None
+    return max(int(r) for r in c.dilated_ratios)
 
 
 class DilatedSelfAttention(nn.Module):
@@ -52,7 +80,8 @@ class DilatedSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 pre_combed: bool = False):
         c = self.cfg
         d = c.embed_dim
         q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
@@ -61,7 +90,17 @@ class DilatedSelfAttention(nn.Module):
         b, l = x.shape[0], x.shape[1]
         split = lambda t: t.reshape(b, l, c.num_heads, c.head_dim)
         out = None
-        if c.seq_axes is not None and c.fused_attention and \
+        if pre_combed:
+            # span-resident comb layout (see span_comb_R): tokens and
+            # mask arrive permuted, output stays permuted
+            out = mega_dilated_attention(
+                split(q), split(k), split(v),
+                segment_lengths=c.segment_lengths,
+                dilated_ratios=c.dilated_ratios,
+                mask=mask if c.mask_padding else None,
+                interpret=_interpret_forced(),
+                pre_combed=True)
+        elif c.seq_axes is not None and c.fused_attention and \
                 get_flash_mode() != "xla":
             out = sp_island_attention(
                 split(q), split(k), split(v),
@@ -142,7 +181,7 @@ class ScannedLongNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, rate, mask, deterministic: bool,
-                 context=None):
+                 context=None, pre_combed: bool = False):
         c = self.cfg
         residual = x
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
@@ -164,7 +203,7 @@ class ScannedLongNetLayer(nn.Module):
         else:
             h = DilatedSelfAttention(c, dtype=self.dtype,
                                      name="self_attn")(
-                h, mask, deterministic)
+                h, mask, deterministic, pre_combed)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         if not deterministic and c.drop_path_rate > 0:
             h = _traced_drop_path(h, rate, self.make_rng("dropout"),
@@ -262,8 +301,9 @@ class LongNetEncoder(nn.Module):
         body = ScannedLongNetLayer
         if c.remat:
             # static_argnums counts self: (self, x, rate, mask, det,
-            # context) -> det is 4
-            body = nn.remat(body, static_argnums=(4,), prevent_cse=False,
+            # context, pre_combed) -> det is 4, pre_combed is 6
+            body = nn.remat(body, static_argnums=(4, 6),
+                            prevent_cse=False,
                             policy=remat_policy(c.remat_policy))
         mods = []
         for k, (a, b) in enumerate(self._span_bounds):
@@ -271,7 +311,8 @@ class LongNetEncoder(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast),
                 length=b - a)
             mods.append(span_cls(c, dtype=self.dtype, name=f"span_{k}"))
         self.span_modules = mods
@@ -313,8 +354,20 @@ class LongNetEncoder(nn.Module):
                 f"run_layers({lo},{hi}) must match a configured span "
                 f"{self._span_bounds}") from e
         rates = jnp.asarray(self._rates[lo:hi], jnp.float32)
-        x, _ = self.span_modules[k](x, rates, mask, deterministic,
-                                    context)
+        # Span-resident comb layout: permute the token stream into the
+        # mega kernel's comb_R order ONCE per span (every op between
+        # attentions — LN/FFN/residual/projections — is per-token and
+        # order-equivariant), so the per-layer q/k/v comb and output
+        # uncomb relayouts vanish from both passes.
+        R = span_comb_R(self.cfg, x.shape[1])
+        m = mask
+        if R is not None:
+            x = comb(x, R)
+            m = comb(mask, R) if mask is not None else None
+        x, _ = self.span_modules[k](x, rates, m, deterministic,
+                                    context, R is not None)
+        if R is not None:
+            x = uncomb(x, R)
         return x
 
     def finalize(self, x):

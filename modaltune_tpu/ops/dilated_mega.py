@@ -579,12 +579,20 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 def _build_mega(B: int, S: int, H: int, D: int,
                 segments: Tuple[int, ...], ratios: Tuple[int, ...],
                 scale: float, interpret: bool,
-                qrange: Optional[Tuple[int, int]] = None):
+                qrange: Optional[Tuple[int, int]] = None,
+                pre_combed: bool = False):
     R, plans = make_mega_plans(S, segments, ratios)
 
     def fwd_impl(qn, kn, vn, vmask):
-        qc, kc, vc = comb(qn, R), comb(kn, R), comb(vn, R)
-        bias = jnp.where(comb(vmask, R) > 0.5, 0.0, NEG_INF
+        if pre_combed:
+            # caller keeps the whole token stream in comb_R order
+            # (span-resident layout, models/longnet.py): operands,
+            # mask, and output all stay permuted — zero relayouts here
+            qc, kc, vc = qn, kn, vn
+        else:
+            qc, kc, vc = comb(qn, R), comb(kn, R), comb(vn, R)
+            vmask = comb(vmask, R)
+        bias = jnp.where(vmask > 0.5, 0.0, NEG_INF
                          ).astype(jnp.float32)[:, None, :]
         out, stats = _mega_fwd_call(plans, qc, kc, vc, bias, S, H,
                                     scale, interpret, qrange=qrange)
@@ -592,16 +600,18 @@ def _build_mega(B: int, S: int, H: int, D: int,
         stats = checkpoint_name(stats, "dilated_stats")
         # save the comb-layout operands: the backward reuses them
         # directly instead of re-permuting (3 comb relayouts/layer)
-        return uncomb(out, R), (qc, kc, vc, bias, vmask, stats)
+        res = (qc, kc, vc, bias, vmask, stats)
+        return (out if pre_combed else uncomb(out, R)), res
 
     def bwd_impl(res, g):
         qc, kc, vc, bias, vmask, stats = res
-        dmix = comb(g, R)
+        dmix = g if pre_combed else comb(g, R)
         dq, dk, dv = _mega_bwd_call(plans, qc, kc, vc, bias, dmix,
                                     stats, S, H, scale, interpret,
                                     qrange=qrange)
-        return (uncomb(dq, R), uncomb(dk, R), uncomb(dv, R),
-                jnp.zeros_like(vmask))
+        if not pre_combed:
+            dq, dk, dv = uncomb(dq, R), uncomb(dk, R), uncomb(dv, R)
+        return dq, dk, dv, jnp.zeros_like(vmask)
 
     @jax.custom_vjp
     def f(qn, kn, vn, vmask):
@@ -617,7 +627,8 @@ def mega_dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
                            scale: Optional[float] = None,
                            interpret: bool = False,
                            q_token_range: Optional[Tuple[int, int]]
-                           = None) -> jax.Array:
+                           = None,
+                           pre_combed: bool = False) -> jax.Array:
     """Multi-branch LongNet dilated attention, single-kernel (TPU).
 
     Same semantics as :func:`ops.dilated.dilated_attention` (the oracle
@@ -629,6 +640,12 @@ def mega_dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
     ``max(dilated_ratios)``) — compute attention only for those query
     rows against the full keys (the sequence-parallel shard's local
     work); rows outside the range come back zero.
+
+    ``pre_combed``: the token axis of q/k/v/mask is ALREADY in global
+    comb_R order (the kernel's native layout) and the output is
+    returned in that order — the span-resident encoder layout
+    (models/longnet.py) uses this to hoist the per-layer comb/uncomb
+    relayouts out of the layer loop entirely.
     """
     B, S, H, D = q.shape
     if scale is None:
@@ -645,7 +662,8 @@ def mega_dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
     fn = _build_mega(B, S, H, D,
                      tuple(int(x) for x in segment_lengths),
                      tuple(int(x) for x in dilated_ratios),
-                     float(scale), bool(interpret), qrange)
+                     float(scale), bool(interpret), qrange,
+                     bool(pre_combed))
     vmask = jnp.ones((B, S), jnp.float32) if mask is None else \
         mask.astype(jnp.float32)
     # the (B, S) mask must follow the same comb permutation as tokens,
