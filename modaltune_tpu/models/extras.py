@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu_exact
 from ..configs import LongNetConfig
 from ..ops import dilated_attention
 
@@ -234,8 +235,7 @@ class MoeFeedForward(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (local_e, 1, d))
         h = jnp.einsum("ecd,edf->ecf", expert_in,
                        w1.astype(expert_in.dtype)) + b1.astype(x.dtype)
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(h.dtype)
+        h = gelu_exact(h)
         h = jnp.einsum("ecf,efd->ecd", h,
                        w2.astype(h.dtype)) + b2.astype(x.dtype)
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu_exact
 from ..configs import GeneEncoderConfig
 from .heads import classifier_logits, survival_from_logits
 from .layers import AlphaDropout
@@ -51,8 +52,7 @@ class TokenFeedForward(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (self.groups,))
         h = jnp.einsum("bgc,gi->bic", x.astype(self.dtype),
                        w1.astype(self.dtype)) + b1[None, :, None]
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(h.dtype)
+        h = gelu_exact(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = jnp.einsum("bic,ig->bgc", h,
                        w2.astype(self.dtype)) + b2[None, :, None]
@@ -72,8 +72,7 @@ class ChannelFeedForward(nn.Module):
         inner = int(self.dim * self.expansion)
         h = nn.Dense(inner, dtype=self.dtype, kernel_init=_trunc02(),
                      name="fc1")(x)
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(h.dtype)
+        h = gelu_exact(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_trunc02(),
                      name="fc2")(h)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu_exact
 from ..configs import LongNetConfig
 # Note: ops.dilated_fast (head-major layout) wins ~10% on forward but its
 # strided-scatter backward loses more than that; the reference-layout
@@ -147,8 +148,7 @@ class FeedForwardNetwork(nn.Module):
         c = self.cfg
         x = nn.Dense(c.ffn_dim, dtype=self.dtype, name="fc1")(x)
         # reference computes the activation in fp32: activation_fn(x.float())
-        x = jax.nn.gelu(x.astype(jnp.float32),
-                        approximate=False).astype(x.dtype)
+        x = gelu_exact(x)
         x = nn.Dropout(c.activation_dropout)(x, deterministic=deterministic)
         if c.subln:
             x = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,

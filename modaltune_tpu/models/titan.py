@@ -38,6 +38,7 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
+from ..ops.activations import gelu_exact
 from ..configs import GeneEncoderConfig, TitanModalTuneConfig
 from ..ops.alibi_flash import alibi_flash_attention
 from .adapter import InteractionBlock
@@ -183,8 +184,7 @@ class TitanBlock(nn.Module):
                          name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(h)
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(h.dtype)
+        h = gelu_exact(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         x = x + dp(h, deterministic)
         return x
@@ -269,8 +269,7 @@ class TitanViT(nn.Module):
         """
         c = self.cfg
         h = self.pe_fc1(tokens)
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(h.dtype)
+        h = gelu_exact(h)
         h = self.pe_fc2(h)
         cls = jnp.broadcast_to(self.cls_token.astype(h.dtype),
                                (h.shape[0], 1, c.embed_dim))
