@@ -26,7 +26,8 @@ ITERS_A = 4
 ITERS_B = 12
 
 
-def measure(n_tokens: int = N_TOKENS, iters_b: int = ITERS_B) -> dict:
+def measure(n_tokens: int = N_TOKENS, iters_b: int = ITERS_B,
+            trace_dir: str = "") -> dict:
     """One TITAN train-step throughput measurement -> result dict
     (importable by bench.py so the driver's single JSON line carries the
     TITAN metric alongside the GigaPath one)."""
@@ -83,6 +84,13 @@ def measure(n_tokens: int = N_TOKENS, iters_b: int = ITERS_B) -> dict:
 
     for _ in range(WARMUP):
         run_n(1, state)
+    if trace_dir:
+        # 2 steady-state steps only (python-side tracing of the build
+        # floods the 1M-event cap); summarize with tools/trace_report.py
+        from modaltune_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            run_n(2, state)
+        print("trace written to", trace_dir, file=sys.stderr)
     t_a, _ = run_n(ITERS_A, state)
     t_b, loss_v = run_n(iters_b, state)
     dt = (t_b - t_a) / (iters_b - ITERS_A)
@@ -101,8 +109,11 @@ def main():
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--n_tokens", type=int, default=N_TOKENS)
+    p.add_argument("--trace", default="",
+                   help="jax.profiler trace dir (2 steady-state steps; "
+                        "summarize with tools/trace_report.py)")
     args = p.parse_args()
-    print(json.dumps(measure(args.n_tokens)))
+    print(json.dumps(measure(args.n_tokens, trace_dir=args.trace)))
 
 
 if __name__ == "__main__":
