@@ -70,9 +70,13 @@ except ImportError:  # pragma: no cover
     pl = None
     pltpu = None
 
-_FWD_SCORE_BUDGET = 6 * 1024 * 1024
-_BWD_SCORE_BUDGET = 4 * 1024 * 1024
-_MAX_BQ = 512
+# fp32 score-tile byte budgets / max q-tile rows; env-overridable for
+# on-chip sweeps (values below are the measured v5e optima)
+_FWD_SCORE_BUDGET = int(os.environ.get("MODALTUNE_MEGA_FWD_BUDGET",
+                                       6 * 1024 * 1024))
+_BWD_SCORE_BUDGET = int(os.environ.get("MODALTUNE_MEGA_BWD_BUDGET",
+                                       4 * 1024 * 1024))
+_MAX_BQ = int(os.environ.get("MODALTUNE_MEGA_MAX_BQ", 512))
 _MAX_BRANCHES = 8          # stats lanes in the (S, 8) lse scratch
 
 
@@ -258,7 +262,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
     tq0, tq1 = (0, MB) if qrange is None else qrange
 
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, st_ref,
-               acc, mcol, zcol, lsc, ks, vs, bcol):
+               acc, mcol, zcol, lsc, ks, vs, bcol, qs):
         bh = pl.program_id(0)
         h = bh % H
         acc[...] = jnp.zeros_like(acc)
@@ -275,6 +279,31 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             def seg_body(kt0, krows, kseg, qm, *, p=p, g=g, bq=bq,
                          bi=bi):
                 wr = p.nk * krows
+                # exact full-coverage windows batch q across slabs:
+                # one (bq, wr) score tile spanning all nk slabs instead
+                # of nk per-slab tiles of only krows rows — keeps the
+                # MXU M-dimension full (the w=1024 r=1 branch would
+                # otherwise run M=64 matmuls at <20% utilization)
+                batched = qm is None and kseg is None and p.nk > 1
+
+                def mix(sl, o, lse):
+                    # online cross-branch mix (scattering,
+                    # dilated_attention.py:113-144, associative)
+                    m_old = mcol[sl, :]
+                    z_old = zcol[sl, :]
+                    a_old = acc[sl, :]
+                    m_new = jnp.maximum(m_old, lse)
+                    m_safe = jnp.maximum(m_new,
+                                         jnp.float32(_MASK_THRESHOLD))
+                    corr = jnp.exp(m_old - m_safe)
+                    wb = jnp.exp(lse - m_safe)
+                    acc[sl, :] = a_old * corr + wb * o
+                    zcol[sl, :] = z_old * corr + wb
+                    mcol[sl, :] = m_new
+                    # keep the window-overlap winner: invalid rows
+                    # carry NEG_INF, so max preserves the real lse
+                    prev = lsc[sl, bi:bi + 1]
+                    lsc[sl, bi:bi + 1] = jnp.maximum(prev, lse)
 
                 # assemble K/V and the key-bias row for this (g, seg);
                 # the slab index is traced so the body is emitted once
@@ -282,10 +311,12 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                 def asm(c, _):
                     j = g + c * p.r
                     src = pl.ds(j * MB + kt0, krows)
-                    ks[pl.ds(c * krows, krows), :] = k_ref[0, src, :]
-                    vs[pl.ds(c * krows, krows), :] = v_ref[0, src, :]
-                    lsc[pl.ds(c * krows, krows),
-                        nbr + 2:nbr + 3] = bcol[src, 0:1]
+                    dst = pl.ds(c * krows, krows)
+                    ks[dst, :] = k_ref[0, src, :]
+                    vs[dst, :] = v_ref[0, src, :]
+                    if batched:
+                        qs[dst, :] = q_ref[0, src, :]
+                    lsc[dst, nbr + 2:nbr + 3] = bcol[src, 0:1]
                     return 0
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
@@ -299,6 +330,26 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                 else:
                     q_lo = max(0, (qm[0] // 8) * 8 - kt0)
                     q_hi = min(krows, _round_up(qm[1], 8) - kt0)
+
+                if batched:
+                    for q0 in range(0, wr, bq):
+                        rows = min(bq, wr - q0)
+                        qi = (qs[pl.ds(q0, rows), :]
+                              .astype(jnp.float32) *
+                              scale).astype(ks.dtype)
+                        o, lse = _attend_block(qi, kk, vv, brow,
+                                               scale, None)
+                        # scatter-mix tile rows back per covered slab
+                        for c in range(q0 // krows,
+                                       -(-(q0 + rows) // krows)):
+                            lo = max(q0, c * krows)
+                            hi = min(q0 + rows, (c + 1) * krows)
+                            j = g + c * p.r
+                            sl = pl.ds(j * MB + kt0 + (lo - c * krows),
+                                       hi - lo)
+                            mix(sl, o[lo - q0:hi - q0],
+                                lse[lo - q0:hi - q0])
+                    return
 
                 def compute(c, _):
                     j = g + c * p.r
@@ -315,23 +366,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                             lval = _iota_q_valid(kt0 + q0, rows, *qm)
                         o, lse = _attend_block(qi, kk, vv, brow,
                                                scale, lval)
-                        # online cross-branch mix (scattering,
-                        # dilated_attention.py:113-144, associative)
-                        m_old = mcol[sl, :]
-                        z_old = zcol[sl, :]
-                        a_old = acc[sl, :]
-                        m_new = jnp.maximum(m_old, lse)
-                        m_safe = jnp.maximum(m_new,
-                                             jnp.float32(_MASK_THRESHOLD))
-                        corr = jnp.exp(m_old - m_safe)
-                        wb = jnp.exp(lse - m_safe)
-                        acc[sl, :] = a_old * corr + wb * o
-                        zcol[sl, :] = z_old * corr + wb
-                        mcol[sl, :] = m_new
-                        # keep the window-overlap winner: invalid rows
-                        # carry NEG_INF, so max preserves the real lse
-                        prev = lsc[sl, bi:bi + 1]
-                        lsc[sl, bi:bi + 1] = jnp.maximum(prev, lse)
+                        mix(sl, o, lse)
                     return 0
 
                 jax.lax.fori_loop(0, p.nk, compute, 0)
@@ -382,6 +417,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled K
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
             pltpu.VMEM((S, 1), jnp.float32),       # bias column
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled Q
         ],
         compiler_params=_kernel_params(),
         interpret=interpret,
@@ -412,7 +448,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
                dq_ref, dk_ref, dv_ref,
-               dqa, dka, dva, lsc, mcol, zcol, ks, vs, dks, dvs):
+               dqa, dka, dva, lsc, mcol, zcol, ks, vs, dks, dvs,
+               qs, dms):
         bh = pl.program_id(0)
         h = bh % H
         dqa[...] = jnp.zeros_like(dqa)
@@ -433,14 +470,27 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             def seg_body(kt0, krows, kseg, qm, *, p=p, g=g, bq=bq,
                          bi=bi):
                 wr = p.nk * krows
+                # exact full-coverage windows batch q across slabs
+                # (see the forward): full-M score tiles and — bigger
+                # here — bq-deep contractions in the dk/dv matmuls
+                # instead of krows-deep per-slab ones
+                batched = qm is None and kseg is None and p.nk > 1
 
                 def asm(c, _):
                     j = g + c * p.r
                     src = pl.ds(j * MB + kt0, krows)
-                    ks[pl.ds(c * krows, krows), :] = k_ref[0, src, :]
-                    vs[pl.ds(c * krows, krows), :] = v_ref[0, src, :]
-                    lsc[pl.ds(c * krows, krows),
-                        nbr + 4:nbr + 5] = lsc[src, nbr + 2:nbr + 3]
+                    dst = pl.ds(c * krows, krows)
+                    ks[dst, :] = k_ref[0, src, :]
+                    vs[dst, :] = v_ref[0, src, :]
+                    lsc[dst, nbr + 4:nbr + 5] = lsc[src,
+                                                    nbr + 2:nbr + 3]
+                    if batched:
+                        qs[dst, :] = q_ref[0, src, :]
+                        dms[dst, :] = dm_ref[0, src, :]
+                        # window-order per-row stats ride spare lanes
+                        lsc[dst, nbr + 5:nbr + 6] = lsc[src, bi:bi + 1]
+                        lsc[dst, nbr + 6:nbr + 7] = mcol[src, :]
+                        lsc[dst, nbr + 7:nbr + 8] = zcol[src, :]
                     return 0
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
@@ -457,60 +507,89 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     q_lo = max(0, (qm[0] // 8) * 8 - kt0)
                     q_hi = min(krows, _round_up(qm[1], 8) - kt0)
 
-                def compute(c, _):
-                    j = g + c * p.r
-                    for q0 in range(q_lo, q_hi, bq):
-                        rows = min(bq, q_hi - q0)
-                        sl = pl.ds(j * MB + kt0 + q0, rows)
-                        qi = (q_ref[0, sl, :].astype(jnp.float32) *
-                              scale).astype(ks.dtype)
-                        lse_i = lsc[sl, bi:bi + 1]
-                        m_i = mcol[sl, :]
-                        z_i = zcol[sl, :]
-                        dmix_i = dm_ref[0, sl, :].astype(jnp.float32)
-                        s = jax.lax.dot_general(
-                            qi, kk, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_mm_precision(kk.dtype))
-                        s = s + brow
-                        valid = lse_i > _MASK_THRESHOLD
-                        if qm is not None:
-                            valid = valid & _iota_q_valid(
-                                kt0 + q0, rows, *qm)
-                        lse_exp = jnp.where(
-                            valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
-                        pmat = jnp.exp(s - lse_exp)
-                        pmat = jnp.where(valid, pmat, 0.0)
-                        zsafe = jnp.where(z_i > 0, z_i, 1.0)
-                        wm = jnp.where(valid,
-                                       jnp.exp(lse_i - m_i) / zsafe, 0.0)
-                        do = dmix_i * wm
-                        pb = pmat.astype(vs.dtype)
-                        dob = do.astype(vs.dtype)
-                        dp = jax.lax.dot_general(
-                            dob, vv, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_mm_precision(vv.dtype))
-                        delta = jnp.sum(pmat * dp, axis=-1,
-                                        keepdims=True)
-                        ds_ = pmat * (dp - delta)
-                        dsb = ds_.astype(ks.dtype)
-                        dq_i = jax.lax.dot_general(
-                            dsb, kk, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_mm_precision(kk.dtype)) * scale
-                        dqa[sl, :] += dq_i
-                        dks[pl.ds(0, wr), :] += jax.lax.dot_general(
-                            dsb, qi, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_mm_precision(kk.dtype))
-                        dvs[pl.ds(0, wr), :] += jax.lax.dot_general(
-                            pb, dob, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_mm_precision(vv.dtype))
-                    return 0
+                def tile_grads(qi, lse_i, m_i, z_i, dmix_i, valid):
+                    """One (rows, wr) gradient tile: accumulates dk/dv
+                    into the window scratch, returns dq (rows, D)."""
+                    s = jax.lax.dot_general(
+                        qi, kk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(kk.dtype))
+                    s = s + brow
+                    lse_exp = jnp.where(
+                        valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
+                    pmat = jnp.exp(s - lse_exp)
+                    pmat = jnp.where(valid, pmat, 0.0)
+                    zsafe = jnp.where(z_i > 0, z_i, 1.0)
+                    wm = jnp.where(valid,
+                                   jnp.exp(lse_i - m_i) / zsafe, 0.0)
+                    do = dmix_i * wm
+                    pb = pmat.astype(vs.dtype)
+                    dob = do.astype(vs.dtype)
+                    dp = jax.lax.dot_general(
+                        dob, vv, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(vv.dtype))
+                    delta = jnp.sum(pmat * dp, axis=-1,
+                                    keepdims=True)
+                    ds_ = pmat * (dp - delta)
+                    dsb = ds_.astype(ks.dtype)
+                    dq_i = jax.lax.dot_general(
+                        dsb, kk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(kk.dtype)) * scale
+                    dks[pl.ds(0, wr), :] += jax.lax.dot_general(
+                        dsb, qi, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(kk.dtype))
+                    dvs[pl.ds(0, wr), :] += jax.lax.dot_general(
+                        pb, dob, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(vv.dtype))
+                    return dq_i
 
-                jax.lax.fori_loop(0, p.nk, compute, 0)
+                if batched:
+                    for q0 in range(0, wr, bq):
+                        rows = min(bq, wr - q0)
+                        w = pl.ds(q0, rows)
+                        qi = (qs[w, :].astype(jnp.float32) *
+                              scale).astype(ks.dtype)
+                        lse_i = lsc[w, nbr + 5:nbr + 6]
+                        m_i = lsc[w, nbr + 6:nbr + 7]
+                        z_i = lsc[w, nbr + 7:nbr + 8]
+                        dmix_i = dms[w, :].astype(jnp.float32)
+                        valid = lse_i > _MASK_THRESHOLD
+                        dq_i = tile_grads(qi, lse_i, m_i, z_i,
+                                          dmix_i, valid)
+                        for c in range(q0 // krows,
+                                       -(-(q0 + rows) // krows)):
+                            lo = max(q0, c * krows)
+                            hi = min(q0 + rows, (c + 1) * krows)
+                            j = g + c * p.r
+                            sl = pl.ds(j * MB + kt0 + (lo - c * krows),
+                                       hi - lo)
+                            dqa[sl, :] += dq_i[lo - q0:hi - q0]
+                else:
+                    def compute(c, _):
+                        j = g + c * p.r
+                        for q0 in range(q_lo, q_hi, bq):
+                            rows = min(bq, q_hi - q0)
+                            sl = pl.ds(j * MB + kt0 + q0, rows)
+                            qi = (q_ref[0, sl, :].astype(jnp.float32) *
+                                  scale).astype(ks.dtype)
+                            lse_i = lsc[sl, bi:bi + 1]
+                            m_i = mcol[sl, :]
+                            z_i = zcol[sl, :]
+                            dmix_i = dm_ref[0, sl, :].astype(
+                                jnp.float32)
+                            valid = lse_i > _MASK_THRESHOLD
+                            if qm is not None:
+                                valid = valid & _iota_q_valid(
+                                    kt0 + q0, rows, *qm)
+                            dqa[sl, :] += tile_grads(
+                                qi, lse_i, m_i, z_i, dmix_i, valid)
+                        return 0
+
+                    jax.lax.fori_loop(0, p.nk, compute, 0)
 
                 def scatter(c, _):
                     j = g + c * p.r
@@ -556,14 +635,17 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             pltpu.VMEM((S, D), jnp.float32),       # dq acc
             pltpu.VMEM((S, D), jnp.float32),       # dk acc
             pltpu.VMEM((S, D), jnp.float32),       # dv acc
-            # lanes 0..nbr-1 lse; nbr+2 bias col; nbr+4 assembled bias
-            pltpu.VMEM((S, _MAX_BRANCHES + 5), jnp.float32),
+            # lanes 0..nbr-1 lse; nbr+2 bias col; nbr+4 assembled
+            # bias; nbr+5..nbr+7 window-order lse/m/Z (batched path)
+            pltpu.VMEM((S, _MAX_BRANCHES + 8), jnp.float32),
             pltpu.VMEM((S, 1), jnp.float32),       # m
             pltpu.VMEM((S, 1), jnp.float32),       # Z
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled K
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
             pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc
             pltpu.VMEM((max_wr, D), jnp.float32),  # dv segment acc
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled Q
+            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled dmix
         ],
         compiler_params=_kernel_params(),
         interpret=interpret,
