@@ -35,11 +35,17 @@ from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _mm_precision,
 
 
 def _tile_bias(cq, ck, slope):
-    """(bq, 3) x (bk, 3) -> (bq, bk) ALiBi bias tile in fp32."""
-    dy = cq[:, 0:1] - ck[:, 0:1].T
-    dx = cq[:, 1:2] - ck[:, 1:2].T
+    """(3, bq) x (3, bk) -> (bq, bk) ALiBi bias tile in fp32.
+
+    Coordinates are carried lane-major — ``(B, 3, N)`` with the token
+    axis in lanes — so each kernel block is 3 contiguous rows instead
+    of bq 12-byte rows (one DMA descriptor per row; the same (N, 1)
+    penalty measured for the fused dilated stats in round 2). The
+    (1, n) -> (n, 1) reshape is the Mosaic-supported relayout."""
+    dy = cq[0:1, :].reshape(-1, 1) - ck[0:1, :]
+    dx = cq[1:2, :].reshape(-1, 1) - ck[1:2, :]
     dist = jnp.sqrt(dy * dy + dx * dx)
-    not_cls = (1.0 - cq[:, 2:3]) * (1.0 - ck[:, 2:3].T)
+    not_cls = (1.0 - cq[2:3, :].reshape(-1, 1)) * (1.0 - ck[2:3, :])
     return -slope * dist * not_cls
 
 
@@ -178,15 +184,17 @@ def _pad_args(q, k, v, coords, bias, bq, bk):
     BH, Lq, D = q.shape
     Lk = k.shape[1]
     Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
-    cq = coords
-    ck = coords
+    # lane-major coords: (B, N, 3) -> (B, 3, N) (see _tile_bias)
+    cl = jnp.swapaxes(coords, 1, 2)
+    cq = cl
+    ck = cl
     if Lqp != Lq:
         q = jnp.pad(q, ((0, 0), (0, Lqp - Lq), (0, 0)))
-        cq = jnp.pad(cq, ((0, 0), (0, Lqp - Lq), (0, 0)))
+        cq = jnp.pad(cq, ((0, 0), (0, 0), (0, Lqp - Lq)))
     if Lkp != Lk:
         k = jnp.pad(k, ((0, 0), (0, Lkp - Lk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, Lkp - Lk), (0, 0)))
-        ck = jnp.pad(ck, ((0, 0), (0, Lkp - Lk), (0, 0)))
+        ck = jnp.pad(ck, ((0, 0), (0, 0), (0, Lkp - Lk)))
         bias = jnp.pad(bias, ((0, 0), (0, Lkp - Lk)),
                        constant_values=NEG_INF)
     return q, k, v, cq, ck, bias, Lqp, Lkp
@@ -206,13 +214,14 @@ def _specs(B, H, bq, bk, D):
         pl.BlockSpec((1, bq, D), qmap),
         pl.BlockSpec((1, bk, D), kmap),
         pl.BlockSpec((1, bk, D), kmap),
-        pl.BlockSpec((1, bq, 3), lambda bh, i, j, *_: (bh // H, i, 0)),
-        pl.BlockSpec((1, bk, 3), lambda bh, i, j, *_: (bh // H, j, 0)),
+        pl.BlockSpec((1, 3, bq), lambda bh, i, j, *_: (bh // H, 0, i)),
+        pl.BlockSpec((1, 3, bk), lambda bh, i, j, *_: (bh // H, 0, j)),
         pl.BlockSpec((1, 1, bk), lambda bh, i, j, *_: (bh // H, 0, j)),
     ]
 
 
-def _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
+def _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k,
+                interpret=False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     bq = _pick_block(block_q, Lq)
@@ -243,6 +252,7 @@ def _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, nk=nk),
         grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Lqp, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, 1, Lqp), jnp.float32),
@@ -252,7 +262,7 @@ def _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
             lse[:, 0, :Lq].reshape(B, H, Lq))
 
 
-def _bwd_pallas(scale, block_q, block_k, res, grads):
+def _bwd_pallas(scale, block_q, block_k, interpret, res, grads):
     q, k, v, coords, slopes, bias, out, lse = res
     do, _ = grads
     B, H, Lq, D = q.shape
@@ -291,6 +301,7 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, nk=nk),
         grid_spec=dq_spec,
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((B * H, Lqp, D), q.dtype),
     )(slopes_bh, qf, kf, vf, cq, ck, biasp[:, None, :], dof,
       lsef[:, None, :], delta[:, None, :])
@@ -300,8 +311,8 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
         pl.BlockSpec((1, bq, D), lambda bh, j, i, *_: (bh, i, 0)),
         pl.BlockSpec((1, bk, D), lambda bh, j, i, *_: (bh, j, 0)),
         pl.BlockSpec((1, bk, D), lambda bh, j, i, *_: (bh, j, 0)),
-        pl.BlockSpec((1, bq, 3), lambda bh, j, i, *_: (bh // H, i, 0)),
-        pl.BlockSpec((1, bk, 3), lambda bh, j, i, *_: (bh // H, j, 0)),
+        pl.BlockSpec((1, 3, bq), lambda bh, j, i, *_: (bh // H, 0, i)),
+        pl.BlockSpec((1, 3, bk), lambda bh, j, i, *_: (bh // H, 0, j)),
         pl.BlockSpec((1, 1, bk), lambda bh, j, i, *_: (bh // H, 0, j)),
         pl.BlockSpec((1, bq, D), lambda bh, j, i, *_: (bh, i, 0)),
         pl.BlockSpec((1, 1, bq), lambda bh, j, i, *_: (bh, 0, i)),
@@ -323,6 +334,7 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, nq=nq),
         grid_spec=dkv_spec,
+        interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Lkp, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, Lkp, D), v.dtype),
@@ -338,15 +350,17 @@ def _bwd_pallas(scale, block_q, block_k, res, grads):
             jnp.zeros_like(bias))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _alibi_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _alibi_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k,
+                  interpret=False):
     return _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
-                       block_k)
+                       block_k, interpret)
 
 
-def _alibi_fwd(q, k, v, coords, slopes, bias, scale, block_q, block_k):
+def _alibi_fwd(q, k, v, coords, slopes, bias, scale, block_q, block_k,
+               interpret=False):
     out, lse = _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
-                           block_k)
+                           block_k, interpret)
     # remat-policy names (see ops/flash_attention.py): lets
     # save_only_these_names keep the kernel outputs so the backward does
     # not re-run the forward kernel.
@@ -387,11 +401,14 @@ def alibi_flash_attention(q, k, v, coords, slopes,
                           key_mask: Optional[jax.Array] = None,
                           scale: Optional[float] = None, *,
                           block_q: int = 512, block_k: int = 512,
-                          use_pallas: Optional[bool] = None):
+                          use_pallas: Optional[bool] = None,
+                          interpret: bool = False):
     """Fused ALiBi flash attention.
 
     q/k/v: ``(B, H, N, D)``; coords: ``(B, N, 3)`` = [row, col, is_cls];
     slopes: ``(H,)``; key_mask: ``(B, N)`` bool. Returns ``(B, H, N, D)``.
+    ``interpret``: run the Pallas kernels in interpret mode (CPU
+    parity tests).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -405,5 +422,5 @@ def alibi_flash_attention(q, k, v, coords, slopes,
         jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
     out, _ = _alibi_pallas(q, k, v, coords.astype(jnp.float32),
                            slopes.astype(jnp.float32), bias,
-                           float(scale), block_q, block_k)
+                           float(scale), block_q, block_k, interpret)
     return out

@@ -89,3 +89,34 @@ def test_pallas_alibi_gradients():
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("n", [128, 200])
+def test_pallas_alibi_interpret_parity(n):
+    """Pallas path vs oracle in interpret mode — covers the kernel
+    logic (incl. the lane-major (B, 3, N) coord layout) on CPU CI where
+    the TPU variants above are skipped."""
+    q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=n, d=64)
+    out_p = alibi_flash_attention(q, k, v, coords3, slopes,
+                                  key_mask=key_mask, use_pallas=True,
+                                  block_q=64, block_k=64, interpret=True)
+    out_r = alibi_attention_reference(q, k, v, coords3, slopes, key_mask)
+    m = np.asarray(key_mask)[:, None, :, None]
+    np.testing.assert_allclose(np.float32(out_p) * m, np.float32(out_r) * m,
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out.astype(jnp.float32) ** 2
+                       * key_mask[:, None, :, None])
+
+    pfn = lambda q, k, v: alibi_flash_attention(
+        q, k, v, coords3, slopes, key_mask=key_mask, use_pallas=True,
+        block_q=64, block_k=64, interpret=True)
+    rfn = lambda q, k, v: alibi_attention_reference(
+        q, k, v, coords3, slopes, key_mask)
+    gp = jax.grad(lambda *a: loss(pfn, *a), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(rfn, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
