@@ -18,6 +18,7 @@ numerical oracle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,9 @@ from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _mm_precision,
                               _pick_block, _round_up)
 
 
+_MXU_DIST = os.environ.get("MODALTUNE_ALIBI_MXU_DIST", "1") == "1"
+
+
 def _tile_bias(cq, ck, slope):
     """(3, bq) x (3, bk) -> (bq, bk) ALiBi bias tile in fp32.
 
@@ -41,11 +45,29 @@ def _tile_bias(cq, ck, slope):
     axis in lanes — so each kernel block is 3 contiguous rows instead
     of bq 12-byte rows (one DMA descriptor per row; the same (N, 1)
     penalty measured for the fused dilated stats in round 2). The
-    (1, n) -> (n, 1) reshape is the Mosaic-supported relayout."""
-    dy = cq[0:1, :].reshape(-1, 1) - ck[0:1, :]
-    dx = cq[1:2, :].reshape(-1, 1) - ck[1:2, :]
-    dist = jnp.sqrt(dy * dy + dx * dx)
+    (1, n) -> (n, 1) reshape is the Mosaic-supported relayout.
+
+    With ``MODALTUNE_ALIBI_MXU_DIST=1`` (default) the squared distance
+    rides the MXU: ||cq - ck||^2 = |cq|^2 + |ck|^2 - 2 cq.ck with a
+    K=2 contraction, replacing the per-element subtract/square VPU
+    passes. Grid coords are small integers, so d2 is exact in fp32;
+    the max(., 0) guards rounding on the diagonal."""
     not_cls = (1.0 - cq[2:3, :].reshape(-1, 1)) * (1.0 - ck[2:3, :])
+    if _MXU_DIST:
+        cq2 = cq[0:2, :]
+        ck2 = ck[0:2, :]
+        cross = jax.lax.dot_general(
+            cq2, ck2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        qn = jnp.sum(cq2 * cq2, axis=0, keepdims=True).reshape(-1, 1)
+        kn = jnp.sum(ck2 * ck2, axis=0, keepdims=True)
+        d2 = jnp.maximum((qn + kn) - 2.0 * cross, 0.0)
+        dist = jnp.sqrt(d2)
+    else:
+        dy = cq[0:1, :].reshape(-1, 1) - ck[0:1, :]
+        dx = cq[1:2, :].reshape(-1, 1) - ck[1:2, :]
+        dist = jnp.sqrt(dy * dy + dx * dx)
     return -slope * dist * not_cls
 
 
