@@ -86,6 +86,7 @@ def _encoder_cfg():
                          mega_attention=True)
 
 
+@pytest.mark.slow  # encoder-level; ops-level pre_combed bitwise parity stays fast
 def test_encoder_comb_resident_matches_oracle(monkeypatch):
     """Same params: comb-resident span (interpret-forced on CPU) vs the
     natural-order path, forward + input gradients."""

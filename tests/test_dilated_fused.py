@@ -70,6 +70,7 @@ def test_forward_matches_oracle(masked):
     np.testing.assert_allclose(g, w, atol=TOL, rtol=TOL)
 
 
+@pytest.mark.slow  # fused path is the non-mega fallback; fwd parity stays fast
 def test_grads_match_oracle_small():
     """Reduced-geometry gradient parity (fast-suite variant of
     test_grads_match_oracle: same code paths — slc + comb + gather

@@ -91,6 +91,7 @@ def test_grads_match_oracle():
             atol=TOL * 10, rtol=TOL * 10, err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.slow  # unaligned geometry; aligned fwd+grad parity stays fast
 def test_unaligned_windows_match_oracle():
     """A branch whose rows-per-slab is not 8-aligned (w=80 -> cw=20)
     exercises the aligned-window + iota-mask path on both sides of the

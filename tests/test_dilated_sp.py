@@ -32,6 +32,7 @@ def _inputs(seed=0):
     return q, k, v, mask
 
 
+@pytest.mark.slow  # qrange parity also covered fast by test_island_matches_oracle
 def test_qrange_kernel_matches_full():
     """The q-restricted mega kernel tiles back to the full result —
     including shard boundaries that fall inside fori-path segments."""
@@ -107,6 +108,7 @@ def test_island_declines_without_mesh():
     assert out is None
 
 
+@pytest.mark.slow  # full spmd step; island kernel logic covered fast by test_island_matches_oracle
 def test_spmd_train_step_fused_island():
     """End-to-end: make_spmd_train_step on a dp x sp mesh with a model
     whose LongNetConfig.seq_axes routes attention through the island;

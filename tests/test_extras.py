@@ -199,6 +199,7 @@ def test_moe_top2_forward():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # full-encoder LoRA wiring+grads; LoRA unit tests stay fast
 def test_lora_encoder_config_wiring():
     """`lora_adapter=True` builds LoraDilatedSelfAttention layers inside
     the encoder (slide_encoder.py:101 / LongNet.py:85-177 equivalent);

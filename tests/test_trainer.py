@@ -40,6 +40,7 @@ def _make(tmp_path, n_cases=8, num_epochs=2):
     return trainer, params, cfg
 
 
+@pytest.mark.slow  # lifecycle covered fast by test_cli resume/eval-only paths
 def test_full_run_and_deploy(tmp_path):
     trainer, params, cfg = _make(tmp_path)
     best = trainer.run(params)
