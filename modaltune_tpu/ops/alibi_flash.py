@@ -36,10 +36,12 @@ from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _mm_precision,
 
 
 _MXU_DIST = os.environ.get("MODALTUNE_ALIBI_MXU_DIST", "1") == "1"
+_ALL_HEADS = os.environ.get("MODALTUNE_ALIBI_ALLHEADS", "0") == "1"
 
 
-def _tile_bias(cq, ck, slope):
-    """(3, bq) x (3, bk) -> (bq, bk) ALiBi bias tile in fp32.
+def _dist_nc(cq, ck):
+    """(3, bq) x (3, bk) -> (bq, bk) fp32 ``dist * not_cls`` (the
+    slope-free part of the ALiBi bias).
 
     Coordinates are carried lane-major — ``(B, 3, N)`` with the token
     axis in lanes — so each kernel block is 3 contiguous rows instead
@@ -68,7 +70,12 @@ def _tile_bias(cq, ck, slope):
         dy = cq[0:1, :].reshape(-1, 1) - ck[0:1, :]
         dx = cq[1:2, :].reshape(-1, 1) - ck[1:2, :]
         dist = jnp.sqrt(dy * dy + dx * dx)
-    return -slope * dist * not_cls
+    return dist * not_cls
+
+
+def _tile_bias(cq, ck, slope):
+    """(3, bq) x (3, bk) -> (bq, bk) ALiBi bias tile in fp32."""
+    return -slope * _dist_nc(cq, ck)
 
 
 def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
@@ -200,6 +207,301 @@ def _dkv_kernel(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref, bias_ref,
     def _finalize():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# All-heads-per-step variant: grid (B, nq, nk) with every head computed
+# inside one grid step. The distance tile (sqrt chain) is computed ONCE
+# per (i, j) instead of H times, coord/bias blocks load once per step,
+# and per-grid-step overhead amortizes across H. Costs H x the block
+# VMEM (q/k/v/do blocks and accumulators carry an H axis).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_ah(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref,
+                   bias_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *,
+                   scale: float, nk: int, H: int):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    cq = cq_ref[0].astype(jnp.float32)
+    ck = ck_ref[0].astype(jnp.float32)
+    kbias = bias_ref[0]
+    dnc = _dist_nc(cq, ck)          # shared across all H heads
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_mm_precision(k.dtype))
+        s = s * scale - slope_ref[h] * dnc + kbias
+        m_prev = m_ref[h, :, :]
+        l_prev = l_ref[h, :, :]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(kbias > _MASK_THRESHOLD, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[h, :, :] = l_prev * corr + jnp.sum(p, axis=-1,
+                                                 keepdims=True)
+        acc_ref[h] = acc_ref[h] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(k.dtype))
+        m_ref[h, :, :] = m_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        for h in range(H):
+            l = l_ref[h, :, :]
+            l_safe = jnp.where(l > 0.0, l, 1.0)
+            o_ref[0, h] = (acc_ref[h] / l_safe).astype(o_ref.dtype)
+            lse = jnp.where(l > 0.0, m_ref[h, :, :] + jnp.log(l_safe),
+                            jnp.float32(NEG_INF))
+            lse_ref[0, h:h + 1, :] = lse.reshape(1, -1)
+
+
+def _dq_kernel_ah(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref,
+                  bias_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+                  *, scale: float, nk: int, H: int):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    cq = cq_ref[0].astype(jnp.float32)
+    ck = ck_ref[0].astype(jnp.float32)
+    kbias = bias_ref[0]
+    dnc = _dist_nc(cq, ck)
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+        lse = lse_ref[0, h:h + 1, :].reshape(-1, 1)
+        delta = delta_ref[0, h:h + 1, :].reshape(-1, 1)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_mm_precision(k.dtype))
+        s = s * scale - slope_ref[h] * dnc + kbias
+        p = jnp.exp(s - lse)
+        p = jnp.where(kbias > _MASK_THRESHOLD, p, 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_mm_precision(k.dtype))
+        ds = p * (dp - delta)
+        acc_ref[h] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(k.dtype)) * scale
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        for h in range(H):
+            dq_ref[0, h] = acc_ref[h].astype(dq_ref.dtype)
+
+
+def _dkv_kernel_ah(slope_ref, q_ref, k_ref, v_ref, cq_ref, ck_ref,
+                   bias_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                   dk_acc, dv_acc, *, scale: float, nq: int, H: int):
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    cq = cq_ref[0].astype(jnp.float32)
+    ck = ck_ref[0].astype(jnp.float32)
+    bias_col = bias_ref[0].reshape(-1, 1)
+    dnc_t = _dist_nc(ck, cq)
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+        lse = lse_ref[0, h:h + 1, :]
+        delta = delta_ref[0, h:h + 1, :]
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_mm_precision(k.dtype))
+        st = st * scale - slope_ref[h] * dnc_t + bias_col
+        pt = jnp.exp(st - lse)
+        pt = jnp.where(bias_col > _MASK_THRESHOLD, pt, 0.0)
+        dv_acc[h] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(k.dtype))
+        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=_mm_precision(k.dtype))
+        dst = pt * (dpt - delta)
+        dk_acc[h] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(k.dtype)) * scale
+
+    @pl.when(qb == nq - 1)
+    def _finalize():
+        for h in range(H):
+            dk_ref[0, h] = dk_acc[h].astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
+
+
+def _pad_args_ah(q, k, v, coords, bias, bq, bk):
+    """4-D (B, H, L, D) padding variant; coords -> lane-major."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    Lqp, Lkp = _round_up(Lq, bq), _round_up(Lk, bk)
+    cl = jnp.swapaxes(coords, 1, 2)
+    cq = cl
+    ck = cl
+    if Lqp != Lq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Lqp - Lq), (0, 0)))
+        cq = jnp.pad(cq, ((0, 0), (0, 0), (0, Lqp - Lq)))
+    if Lkp != Lk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Lkp - Lk), (0, 0)))
+        ck = jnp.pad(ck, ((0, 0), (0, 0), (0, Lkp - Lk)))
+        bias = jnp.pad(bias, ((0, 0), (0, Lkp - Lk)),
+                       constant_values=NEG_INF)
+    return q, k, v, cq, ck, bias, Lqp, Lkp
+
+
+def _specs_ah(H, bq, bk, D):
+    return [
+        pl.BlockSpec((1, H, bq, D), lambda b, i, j, *_: (b, 0, i, 0)),
+        pl.BlockSpec((1, H, bk, D), lambda b, i, j, *_: (b, 0, j, 0)),
+        pl.BlockSpec((1, H, bk, D), lambda b, i, j, *_: (b, 0, j, 0)),
+        pl.BlockSpec((1, 3, bq), lambda b, i, j, *_: (b, 0, i)),
+        pl.BlockSpec((1, 3, bk), lambda b, i, j, *_: (b, 0, j)),
+        pl.BlockSpec((1, 1, bk), lambda b, i, j, *_: (b, 0, j)),
+    ]
+
+
+def _ah_params():
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _fwd_pallas_ah(q, k, v, coords, slopes, bias, scale, block_q,
+                   block_k, interpret=False):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    bq = _pick_block(block_q, Lq)
+    bk = _pick_block(block_k, Lk)
+    qf, kf, vf, cq, ck, biasp, Lqp, Lkp = _pad_args_ah(q, k, v, coords,
+                                                       bias, bq, bk)
+    nq, nk = Lqp // bq, Lkp // bk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nq, nk),
+        in_specs=_specs_ah(H, bq, bk, D),
+        out_specs=[
+            pl.BlockSpec((1, H, bq, D), lambda b, i, j, *_: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, bq), lambda b, i, j, *_: (b, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, bq, D), jnp.float32),
+            pltpu.VMEM((H, bq, 1), jnp.float32),
+            pltpu.VMEM((H, bq, 1), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_ah, scale=scale, nk=nk, H=H),
+        grid_spec=grid_spec,
+        compiler_params=_ah_params(),
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lqp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lqp), jnp.float32),
+        ],
+    )(slopes.astype(jnp.float32), qf, kf, vf, cq, ck, biasp[:, None, :])
+    return out[:, :, :Lq], lse[:, :, :Lq]
+
+
+def _bwd_pallas_ah(scale, block_q, block_k, interpret, res, grads):
+    q, k, v, coords, slopes, bias, out, lse = res
+    do, _ = grads
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    bq = _pick_block(block_q, Lq)
+    bk = _pick_block(block_k, Lk)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)
+    qf, kf, vf, cq, ck, biasp, Lqp, Lkp = _pad_args_ah(q, k, v, coords,
+                                                       bias, bq, bk)
+    dof, lsef = do, lse
+    if Lqp != Lq:
+        dof = jnp.pad(dof, ((0, 0), (0, 0), (0, Lqp - Lq), (0, 0)))
+        lsef = jnp.pad(lsef, ((0, 0), (0, 0), (0, Lqp - Lq)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Lqp - Lq)))
+    nq, nk = Lqp // bq, Lkp // bk
+    slopes_f = slopes.astype(jnp.float32)
+
+    base = _specs_ah(H, bq, bk, D)
+    qblk = pl.BlockSpec((1, H, bq, D), lambda b, i, j, *_: (b, 0, i, 0))
+    qrow = pl.BlockSpec((1, H, bq), lambda b, i, j, *_: (b, 0, i))
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nq, nk),
+        in_specs=base + [qblk, qrow, qrow],
+        out_specs=qblk,
+        scratch_shapes=[pltpu.VMEM((H, bq, D), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_ah, scale=scale, nk=nk, H=H),
+        grid_spec=dq_spec,
+        compiler_params=_ah_params(),
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lqp, D), q.dtype),
+    )(slopes_f, qf, kf, vf, cq, ck, biasp[:, None, :], dof, lsef, delta)
+
+    kv_specs = [
+        pl.BlockSpec((1, H, bq, D), lambda b, j, i, *_: (b, 0, i, 0)),
+        pl.BlockSpec((1, H, bk, D), lambda b, j, i, *_: (b, 0, j, 0)),
+        pl.BlockSpec((1, H, bk, D), lambda b, j, i, *_: (b, 0, j, 0)),
+        pl.BlockSpec((1, 3, bq), lambda b, j, i, *_: (b, 0, i)),
+        pl.BlockSpec((1, 3, bk), lambda b, j, i, *_: (b, 0, j)),
+        pl.BlockSpec((1, 1, bk), lambda b, j, i, *_: (b, 0, j)),
+        pl.BlockSpec((1, H, bq, D), lambda b, j, i, *_: (b, 0, i, 0)),
+        pl.BlockSpec((1, H, bq), lambda b, j, i, *_: (b, 0, i)),
+        pl.BlockSpec((1, H, bq), lambda b, j, i, *_: (b, 0, i)),
+    ]
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nk, nq),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, H, bk, D), lambda b, j, i, *_: (b, 0, j, 0)),
+            pl.BlockSpec((1, H, bk, D), lambda b, j, i, *_: (b, 0, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, bk, D), jnp.float32),
+            pltpu.VMEM((H, bk, D), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_ah, scale=scale, nq=nq, H=H),
+        grid_spec=dkv_spec,
+        compiler_params=_ah_params(),
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lkp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Lkp, D), v.dtype),
+        ],
+    )(slopes_f, qf, kf, vf, cq, ck, biasp[:, None, :], dof, lsef, delta)
+    return (dq[:, :, :Lq], dk[:, :, :Lk], dv[:, :, :Lk],
+            jnp.zeros_like(coords), jnp.zeros_like(slopes),
+            jnp.zeros_like(bias))
 
 
 def _pad_args(q, k, v, coords, bias, bq, bk):
@@ -372,17 +674,19 @@ def _bwd_pallas(scale, block_q, block_k, interpret, res, grads):
             jnp.zeros_like(bias))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _alibi_pallas(q, k, v, coords, slopes, bias, scale, block_q, block_k,
-                  interpret=False):
-    return _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
-                       block_k, interpret)
+                  interpret=False, all_heads=False):
+    fwd = _fwd_pallas_ah if all_heads else _fwd_pallas
+    return fwd(q, k, v, coords, slopes, bias, scale, block_q,
+               block_k, interpret)
 
 
 def _alibi_fwd(q, k, v, coords, slopes, bias, scale, block_q, block_k,
-               interpret=False):
-    out, lse = _fwd_pallas(q, k, v, coords, slopes, bias, scale, block_q,
-                           block_k, interpret)
+               interpret=False, all_heads=False):
+    fwd = _fwd_pallas_ah if all_heads else _fwd_pallas
+    out, lse = fwd(q, k, v, coords, slopes, bias, scale, block_q,
+                   block_k, interpret)
     # remat-policy names (see ops/flash_attention.py): lets
     # save_only_these_names keep the kernel outputs so the backward does
     # not re-run the forward kernel.
@@ -391,7 +695,13 @@ def _alibi_fwd(q, k, v, coords, slopes, bias, scale, block_q, block_k,
     return (out, lse), (q, k, v, coords, slopes, bias, out, lse)
 
 
-_alibi_pallas.defvjp(_alibi_fwd, _bwd_pallas)
+def _alibi_bwd(scale, block_q, block_k, interpret, all_heads, res,
+               grads):
+    bwd = _bwd_pallas_ah if all_heads else _bwd_pallas
+    return bwd(scale, block_q, block_k, interpret, res, grads)
+
+
+_alibi_pallas.defvjp(_alibi_fwd, _alibi_bwd)
 
 
 def alibi_attention_reference(q, k, v, coords, slopes, key_mask=None,
@@ -424,7 +734,8 @@ def alibi_flash_attention(q, k, v, coords, slopes,
                           scale: Optional[float] = None, *,
                           block_q: int = 512, block_k: int = 512,
                           use_pallas: Optional[bool] = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          all_heads: Optional[bool] = None):
     """Fused ALiBi flash attention.
 
     q/k/v: ``(B, H, N, D)``; coords: ``(B, N, 3)`` = [row, col, is_cls];
@@ -442,7 +753,10 @@ def alibi_flash_attention(q, k, v, coords, slopes,
     b, n = q.shape[0], k.shape[2]
     bias = jnp.zeros((b, n), jnp.float32) if key_mask is None else \
         jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    if all_heads is None:
+        all_heads = _ALL_HEADS
     out, _ = _alibi_pallas(q, k, v, coords.astype(jnp.float32),
                            slopes.astype(jnp.float32), bias,
-                           float(scale), block_q, block_k, interpret)
+                           float(scale), block_q, block_k, interpret,
+                           bool(all_heads))
     return out

@@ -92,14 +92,17 @@ def test_pallas_alibi_gradients():
 
 
 @pytest.mark.parametrize("n", [128, 200])
-def test_pallas_alibi_interpret_parity(n):
+@pytest.mark.parametrize("all_heads", [False, True])
+def test_pallas_alibi_interpret_parity(n, all_heads):
     """Pallas path vs oracle in interpret mode — covers the kernel
-    logic (incl. the lane-major (B, 3, N) coord layout) on CPU CI where
-    the TPU variants above are skipped."""
+    logic (incl. the lane-major (B, 3, N) coord layout and the
+    all-heads-per-step variant) on CPU CI where the TPU variants above
+    are skipped."""
     q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=n, d=64)
     out_p = alibi_flash_attention(q, k, v, coords3, slopes,
                                   key_mask=key_mask, use_pallas=True,
-                                  block_q=64, block_k=64, interpret=True)
+                                  block_q=64, block_k=64, interpret=True,
+                                  all_heads=all_heads)
     out_r = alibi_attention_reference(q, k, v, coords3, slopes, key_mask)
     m = np.asarray(key_mask)[:, None, :, None]
     np.testing.assert_allclose(np.float32(out_p) * m, np.float32(out_r) * m,
@@ -112,7 +115,7 @@ def test_pallas_alibi_interpret_parity(n):
 
     pfn = lambda q, k, v: alibi_flash_attention(
         q, k, v, coords3, slopes, key_mask=key_mask, use_pallas=True,
-        block_q=64, block_k=64, interpret=True)
+        block_q=64, block_k=64, interpret=True, all_heads=all_heads)
     rfn = lambda q, k, v: alibi_attention_reference(
         q, k, v, coords3, slopes, key_mask)
     gp = jax.grad(lambda *a: loss(pfn, *a), argnums=(0, 1, 2))(q, k, v)
