@@ -33,6 +33,7 @@ def main():
     p.add_argument("--block_q", type=int, default=512)
     p.add_argument("--block_k", type=int, default=512)
     p.add_argument("--n_tokens", type=int, default=N_TOKENS)
+    p.add_argument("--all_heads", type=int, default=0)
     args = p.parse_args()
 
     from modaltune_tpu.ops.alibi_flash import alibi_flash_attention
@@ -54,7 +55,8 @@ def main():
         o = alibi_flash_attention(q, k, v, coords, slopes,
                                   key_mask=mask, use_pallas=True,
                                   block_q=args.block_q,
-                                  block_k=args.block_k)
+                                  block_k=args.block_k,
+                                  all_heads=bool(args.all_heads))
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
     step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
@@ -73,7 +75,7 @@ def main():
     dt = (t_b - t_a) / (ITERS_B - ITERS_A)
     print(json.dumps({"ms_fwd_bwd": round(dt * 1000, 2), "check": chk,
                       "block_q": args.block_q, "block_k": args.block_k,
-                      "n": n}))
+                      "all_heads": args.all_heads, "n": n}))
 
 
 if __name__ == "__main__":
