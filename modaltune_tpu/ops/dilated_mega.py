@@ -236,6 +236,15 @@ def _iota_q_valid(base: int, rows: int, t0: int, t1: int):
     return (t >= t0) & (t < t1)
 
 
+def _iota_q_valid_mod(kt0, krows: int, q0: int, rows: int,
+                      t0: int, t1: int):
+    """(rows, 1) bool validity for BATCHED window rows [q0, q0+rows):
+    row i sits at intra-slab position kt0 + (q0 + i) % krows."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    t = kt0 + (q0 + i) % krows
+    return (t >= t0) & (t < t1)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -279,12 +288,17 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             def seg_body(kt0, krows, kseg, qm, *, p=p, g=g, bq=bq,
                          bi=bi):
                 wr = p.nk * krows
-                # exact full-coverage windows batch q across slabs:
-                # one (bq, wr) score tile spanning all nk slabs instead
-                # of nk per-slab tiles of only krows rows — keeps the
-                # MXU M-dimension full (the w=1024 r=1 branch would
-                # otherwise run M=64 matmuls at <20% utilization)
-                batched = qm is None and kseg is None and p.nk > 1
+                # full-coverage windows batch q across slabs: one
+                # (bq, wr) score tile spanning all nk slabs instead of
+                # nk per-slab tiles of only krows rows — keeps the MXU
+                # M-dimension full (the w=1024 r=1 branch would
+                # otherwise run M=64 matmuls at <20% utilization).
+                # Inexact windows (the crd branch) batch too: boundary
+                # rows outside the real segment are masked by the
+                # modular iota below and mix/accumulate exact zeros.
+                # Seq-parallel clips (qrange) keep the per-slab path.
+                batched = p.nk > 1 and (qrange is None or
+                                        (qm is None and kseg is None))
 
                 def mix(sl, o, lse):
                     # online cross-branch mix (scattering,
@@ -337,8 +351,12 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         qi = (qs[pl.ds(q0, rows), :]
                               .astype(jnp.float32) *
                               scale).astype(ks.dtype)
+                        lval = None
+                        if qm is not None:
+                            lval = _iota_q_valid_mod(kt0, krows, q0,
+                                                     rows, *qm)
                         o, lse = _attend_block(qi, kk, vv, brow,
-                                               scale, None)
+                                               scale, lval)
                         # scatter-mix tile rows back per covered slab
                         for c in range(q0 // krows,
                                        -(-(q0 + rows) // krows)):
@@ -470,11 +488,14 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             def seg_body(kt0, krows, kseg, qm, *, p=p, g=g, bq=bq,
                          bi=bi):
                 wr = p.nk * krows
-                # exact full-coverage windows batch q across slabs
-                # (see the forward): full-M score tiles and — bigger
-                # here — bq-deep contractions in the dk/dv matmuls
-                # instead of krows-deep per-slab ones
-                batched = qm is None and kseg is None and p.nk > 1
+                # full-coverage windows batch q across slabs (see the
+                # forward): full-M score tiles and — bigger here —
+                # bq-deep contractions in the dk/dv matmuls instead of
+                # krows-deep per-slab ones. Inexact windows batch with
+                # the modular q mask (invalid rows contribute exact
+                # zeros); seq-parallel clips keep the per-slab path.
+                batched = p.nk > 1 and (qrange is None or
+                                        (qm is None and kseg is None))
 
                 def asm(c, _):
                     j = g + c * p.r
@@ -558,6 +579,9 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         z_i = lsc[w, nbr + 7:nbr + 8]
                         dmix_i = dms[w, :].astype(jnp.float32)
                         valid = lse_i > _MASK_THRESHOLD
+                        if qm is not None:
+                            valid = valid & _iota_q_valid_mod(
+                                kt0, krows, q0, rows, *qm)
                         dq_i = tile_grads(qi, lse_i, m_i, z_i,
                                           dmix_i, valid)
                         for c in range(q0 // krows,
