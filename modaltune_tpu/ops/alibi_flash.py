@@ -35,8 +35,13 @@ from .flash_attention import (NEG_INF, _MASK_THRESHOLD, _mm_precision,
                               _pick_block, _round_up)
 
 
+# On-chip sweep (tools/sweep_alibi.py, v5e, 4100-token TITAN geometry,
+# fwd+bwd ms/layer): per-head bq/bk=512/512 ran 59.3; MXU-dist with
+# bk=1024 collapsed the bias-tile cost, and the all-heads variant on
+# top landed 9.9 (512/1024). Defaults encode that optimum; env knobs
+# remain for re-sweeps on other geometries.
 _MXU_DIST = os.environ.get("MODALTUNE_ALIBI_MXU_DIST", "1") == "1"
-_ALL_HEADS = os.environ.get("MODALTUNE_ALIBI_ALLHEADS", "0") == "1"
+_ALL_HEADS = os.environ.get("MODALTUNE_ALIBI_ALLHEADS", "1") == "1"
 
 
 def _dist_nc(cq, ck):
@@ -732,7 +737,7 @@ def alibi_attention_reference(q, k, v, coords, slopes, key_mask=None,
 def alibi_flash_attention(q, k, v, coords, slopes,
                           key_mask: Optional[jax.Array] = None,
                           scale: Optional[float] = None, *,
-                          block_q: int = 512, block_k: int = 512,
+                          block_q: int = 512, block_k: int = 1024,
                           use_pallas: Optional[bool] = None,
                           interpret: bool = False,
                           all_heads: Optional[bool] = None):

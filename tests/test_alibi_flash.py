@@ -59,19 +59,22 @@ def test_cls_row_has_zero_alibi():
 
 
 @requires_tpu
+@pytest.mark.parametrize("all_heads", [False, True])
 @pytest.mark.parametrize("n", [128, 200])
-def test_pallas_alibi_matches_reference(n):
+def test_pallas_alibi_matches_reference(n, all_heads):
     q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=n, d=64)
     out_p = alibi_flash_attention(q, k, v, coords3, slopes,
                                   key_mask=key_mask, use_pallas=True,
-                                  block_q=64, block_k=64)
+                                  block_q=64, block_k=64,
+                                  all_heads=all_heads)
     out_r = alibi_attention_reference(q, k, v, coords3, slopes, key_mask)
     np.testing.assert_allclose(np.float32(out_p), np.float32(out_r),
                                atol=2e-2, rtol=2e-2)
 
 
 @requires_tpu
-def test_pallas_alibi_gradients():
+@pytest.mark.parametrize("all_heads", [False, True])
+def test_pallas_alibi_gradients(all_heads):
     q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=128, d=64)
 
     def loss(fn, q, k, v):
@@ -81,7 +84,7 @@ def test_pallas_alibi_gradients():
 
     pfn = lambda q, k, v: alibi_flash_attention(
         q, k, v, coords3, slopes, key_mask=key_mask, use_pallas=True,
-        block_q=64, block_k=64)
+        block_q=64, block_k=64, all_heads=all_heads)
     rfn = lambda q, k, v: alibi_attention_reference(
         q, k, v, coords3, slopes, key_mask)
     gp = jax.grad(lambda *a: loss(pfn, *a), argnums=(0, 1, 2))(q, k, v)
@@ -97,7 +100,15 @@ def test_pallas_alibi_interpret_parity(n, all_heads):
     """Pallas path vs oracle in interpret mode — covers the kernel
     logic (incl. the lane-major (B, 3, N) coord layout and the
     all-heads-per-step variant) on CPU CI where the TPU variants above
-    are skipped."""
+    are skipped.
+
+    CPU-only: on a TPU backend interpret-mode fp32 matmuls still route
+    through the MXU at DEFAULT precision (~1e-3 relative), so the
+    exact-algebra 1e-5 check is only meaningful on CPU; the real-kernel
+    TPU tests above cover both variants at backend tolerance."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("exact interpret parity is CPU-only (MXU DEFAULT "
+                    "precision); TPU covered by the real-kernel tests")
     q, k, v, coords3, gc, valid, key_mask, slopes = _setup(n=n, d=64)
     out_p = alibi_flash_attention(q, k, v, coords3, slopes,
                                   key_mask=key_mask, use_pallas=True,
