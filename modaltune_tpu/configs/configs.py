@@ -131,6 +131,8 @@ class SlideEncoderConfig:
     norm_eps: float = 1e-6          # the ViT-level output LayerNorm
     fused_attention: bool = True    # forwarded into LongNetConfig
     seq_axes: Optional[Tuple[str, str]] = None  # forwarded (seq-parallel)
+    remat: bool = True              # forwarded: per-layer remat on/off
+    remat_policy: str = "flash"     # forwarded: see longnet.remat_policy
 
     def longnet(self, **overrides) -> LongNetConfig:
         base = dict(
@@ -140,6 +142,8 @@ class SlideEncoderConfig:
             num_heads=16,
             fused_attention=self.fused_attention,
             seq_axes=self.seq_axes,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
             segment_lengths=optimal_segment_lengths(self.max_wsi_size,
                                                     self.tile_size),
             dropout=self.dropout,

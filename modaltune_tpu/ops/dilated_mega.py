@@ -245,6 +245,56 @@ def _iota_q_valid_mod(kt0, krows: int, q0: int, rows: int,
     return (t >= t0) & (t < t1)
 
 
+def _attend_block_fused(qi1, kk1, vv1, lse_valid=None):
+    """MXU-epilogue variant of ``_attend_block``: both the key-bias add
+    and the softmax row-sum ride the matmuls instead of costing VPU
+    passes over the (rows, wr) score tile.
+
+    ``qi1`` (rows, D+1): pre-scaled q with lane D == scale;
+    ``kk1`` (wr, D+1): k with lane D == key bias / scale (already
+    window-masked), so the score matmul emits ``q.k*scale + bias``;
+    ``vv1`` (wr, D+1): v with lane D == 1, so the out matmul's spare
+    lane accumulates ``sum(p)``. The D->D+1 widening is free on the
+    MXU (both dims pad far past 49) and in VMEM (lane granularity 128).
+
+    Returns (out fp32 (rows, D), lse fp32 (rows, 1))."""
+    D = qi1.shape[1] - 1
+    s = jax.lax.dot_general(qi1, kk1, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(kk1.dtype))
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True),
+                    _MASK_THRESHOLD)
+    p = jnp.exp(s - m)
+    o1 = jax.lax.dot_general(p.astype(vv1.dtype), vv1,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_mm_precision(vv1.dtype))
+    l = o1[:, D:D + 1]
+    lsafe = jnp.where(l > 0, l, 1.0)
+    o = o1[:, :D] / lsafe
+    lse = jnp.where(l > 0, m + jnp.log(lsafe), NEG_INF)
+    if lse_valid is not None:
+        lse = jnp.where(lse_valid, lse, NEG_INF)
+    return o, lse
+
+
+def _key_bias_lane(bcol_ref, lane: int, src, kt0: int, krows: int,
+                   kseg, inv_scale: float, dtype):
+    """(krows, 1) folded key-bias lane values for one assembled window
+    chunk: the mask-bias column (pre-divided by scale so the q lane's
+    ``scale`` multiplier cancels), NEG_INF/scale outside the real
+    segment bounds (replaces ``_iota_key_bias`` + the brow add).
+    ``src`` rows are contiguous [kt0, kt0+krows) per slab, so plain
+    (not modular) iota bounds apply."""
+    base = bcol_ref[src, lane:lane + 1]
+    if kseg is not None:
+        t0, t1 = kseg
+        t = jax.lax.broadcasted_iota(jnp.int32, (krows, 1), 0) + kt0
+        base = jnp.where((t >= t0) & (t < t1), base,
+                         jnp.float32(NEG_INF * inv_scale))
+    return base.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -270,6 +320,8 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
     max_wr = max(p.max_wr for p in plans)
     tq0, tq1 = (0, MB) if qrange is None else qrange
 
+    inv_scale = 1.0 / scale
+
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, st_ref,
                acc, mcol, zcol, lsc, ks, vs, bcol, qs):
         bh = pl.program_id(0)
@@ -279,6 +331,13 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
         zcol[...] = jnp.zeros_like(zcol)
         lsc[...] = jnp.full_like(lsc, NEG_INF)
         _row_to_col(bcol, 0, b_ref, 0, S)
+        # pre-divide by scale: the score matmul's q ones-lane carries
+        # `scale`, so lane-folded bias contributes scale*(bias/scale)
+        bcol[...] = bcol[...] * inv_scale
+        # spare MXU-epilogue lanes (see _attend_block_fused): v ones,
+        # q ones — set once; window assembly only writes lanes 0:D
+        vs[:, D:D + 1] = jnp.ones((max_wr, 1), vs.dtype)
+        qs[:, D:D + 1] = jnp.ones((max_wr, 1), qs.dtype)
 
         for bi, p in enumerate(plans):
             hg = H // p.r
@@ -326,17 +385,16 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     j = g + c * p.r
                     src = pl.ds(j * MB + kt0, krows)
                     dst = pl.ds(c * krows, krows)
-                    ks[dst, :] = k_ref[0, src, :]
-                    vs[dst, :] = v_ref[0, src, :]
+                    ks[dst, 0:D] = k_ref[0, src, :]
+                    vs[dst, 0:D] = v_ref[0, src, :]
                     if batched:
-                        qs[dst, :] = q_ref[0, src, :]
-                    lsc[dst, nbr + 2:nbr + 3] = bcol[src, 0:1]
+                        qs[dst, 0:D] = q_ref[0, src, :]
+                    ks[dst, D:D + 1] = _key_bias_lane(
+                        bcol, 0, src, kt0, krows, kseg, inv_scale,
+                        ks.dtype)
                     return 0
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
-                brow = lsc[pl.ds(0, wr), nbr + 2:nbr + 3].reshape(1, wr)
-                if kseg is not None:
-                    brow = brow + _iota_key_bias(kt0, krows, wr, *kseg)
                 kk = ks[pl.ds(0, wr), :]
                 vv = vs[pl.ds(0, wr), :]
                 if qm is None:
@@ -355,8 +413,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         if qm is not None:
                             lval = _iota_q_valid_mod(kt0, krows, q0,
                                                      rows, *qm)
-                        o, lse = _attend_block(qi, kk, vv, brow,
-                                               scale, lval)
+                        o, lse = _attend_block_fused(qi, kk, vv, lval)
                         # scatter-mix tile rows back per covered slab
                         for c in range(q0 // krows,
                                        -(-(q0 + rows) // krows)):
@@ -374,7 +431,10 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     for q0 in range(q_lo, q_hi, bq):
                         rows = min(bq, q_hi - q0)
                         sl = pl.ds(j * MB + kt0 + q0, rows)
-                        qi = (q_ref[0, sl, :].astype(jnp.float32) *
+                        # stage through qs to pick up the ones lane
+                        qs[pl.ds(0, rows), 0:D] = q_ref[0, sl, :]
+                        qi = (qs[pl.ds(0, rows), :]
+                              .astype(jnp.float32) *
                               scale).astype(ks.dtype)
                         # window-overlap rows belong to the adjacent
                         # segment (or another seq shard): force their
@@ -382,8 +442,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         lval = None
                         if qm is not None:
                             lval = _iota_q_valid(kt0 + q0, rows, *qm)
-                        o, lse = _attend_block(qi, kk, vv, brow,
-                                               scale, lval)
+                        o, lse = _attend_block_fused(qi, kk, vv, lval)
                         mix(sl, o, lse)
                     return 0
 
@@ -430,12 +489,15 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             pltpu.VMEM((S, D), jnp.float32),       # acc
             pltpu.VMEM((S, 1), jnp.float32),       # m
             pltpu.VMEM((S, 1), jnp.float32),       # Z
-            # lanes 0..nbr-1: per-branch lse; lane nbr+2: bias-assembly
+            # lanes 0..nbr-1: per-branch lse
             pltpu.VMEM((S, _MAX_BRANCHES + 3), jnp.float32),
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled K
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
-            pltpu.VMEM((S, 1), jnp.float32),       # bias column
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled Q
+            # K/V/Q carry one MXU-epilogue lane each (bias / ones /
+            # ones — see _attend_block_fused); physically free, VMEM
+            # lanes pad to 128 regardless
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled V+ones
+            pltpu.VMEM((S, 1), jnp.float32),       # bias column /scale
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled Q+ones
         ],
         compiler_params=_kernel_params(),
         interpret=interpret,
@@ -463,6 +525,7 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
     nbr = len(plans)
     max_wr = max(p.max_wr for p in plans)
     tq0, tq1 = (0, MB) if qrange is None else qrange
+    inv_scale = 1.0 / scale
 
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
                dq_ref, dk_ref, dv_ref,
@@ -477,8 +540,11 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             _row_to_col(lsc, bi, st_ref, bi, S)
         _row_to_col(mcol, 0, st_ref, nbr, S)
         _row_to_col(zcol, 0, st_ref, nbr + 1, S)
-        # bias column rides the spare lse lane
+        # bias column rides the spare lse lane, pre-divided by scale
+        # for the MXU bias-lane fold (see _attend_block_fused)
         _row_to_col(lsc, nbr + 2, b_ref, 0, S)
+        lsc[:, nbr + 2:nbr + 3] = lsc[:, nbr + 2:nbr + 3] * inv_scale
+        qs[:, D:D + 1] = jnp.ones((max_wr, 1), qs.dtype)
 
         for bi, p in enumerate(plans):
             hg = H // p.r
@@ -501,12 +567,13 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     j = g + c * p.r
                     src = pl.ds(j * MB + kt0, krows)
                     dst = pl.ds(c * krows, krows)
-                    ks[dst, :] = k_ref[0, src, :]
+                    ks[dst, 0:D] = k_ref[0, src, :]
                     vs[dst, :] = v_ref[0, src, :]
-                    lsc[dst, nbr + 4:nbr + 5] = lsc[src,
-                                                    nbr + 2:nbr + 3]
+                    ks[dst, D:D + 1] = _key_bias_lane(
+                        lsc, nbr + 2, src, kt0, krows, kseg, inv_scale,
+                        ks.dtype)
                     if batched:
-                        qs[dst, :] = q_ref[0, src, :]
+                        qs[dst, 0:D] = q_ref[0, src, :]
                         dms[dst, :] = dm_ref[0, src, :]
                         # window-order per-row stats ride spare lanes
                         lsc[dst, nbr + 5:nbr + 6] = lsc[src, bi:bi + 1]
@@ -515,10 +582,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     return 0
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
-                brow = lsc[pl.ds(0, wr), nbr + 4:nbr + 5].reshape(1, wr)
-                if kseg is not None:
-                    brow = brow + _iota_key_bias(kt0, krows, wr, *kseg)
-                kk = ks[pl.ds(0, wr), :]
+                kk1 = ks[pl.ds(0, wr), :]
+                kk = ks[pl.ds(0, wr), 0:D]
                 vv = vs[pl.ds(0, wr), :]
                 dks[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
                 dvs[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
@@ -528,18 +593,22 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     q_lo = max(0, (qm[0] // 8) * 8 - kt0)
                     q_hi = min(krows, _round_up(qm[1], 8) - kt0)
 
-                def tile_grads(qi, lse_i, m_i, z_i, dmix_i, valid):
+                def tile_grads(qi1, lse_i, m_i, z_i, dmix_i, valid):
                     """One (rows, wr) gradient tile: accumulates dk/dv
-                    into the window scratch, returns dq (rows, D)."""
+                    into the window scratch, returns dq (rows, D).
+                    ``qi1`` carries the ones lane: the score matmul
+                    emits s+bias directly (MXU bias fold), and invalid
+                    rows need no explicit zeroing — their lse_exp of
+                    -_MASK_THRESHOLD (+5e8) makes exp underflow to an
+                    exact 0."""
+                    qi = qi1[:, 0:D]
                     s = jax.lax.dot_general(
-                        qi, kk, (((1,), (1,)), ((), ())),
+                        qi1, kk1, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=_mm_precision(kk.dtype))
-                    s = s + brow
+                        precision=_mm_precision(kk1.dtype))
                     lse_exp = jnp.where(
                         valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
                     pmat = jnp.exp(s - lse_exp)
-                    pmat = jnp.where(valid, pmat, 0.0)
                     zsafe = jnp.where(z_i > 0, z_i, 1.0)
                     wm = jnp.where(valid,
                                    jnp.exp(lse_i - m_i) / zsafe, 0.0)
@@ -598,7 +667,10 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         for q0 in range(q_lo, q_hi, bq):
                             rows = min(bq, q_hi - q0)
                             sl = pl.ds(j * MB + kt0 + q0, rows)
-                            qi = (q_ref[0, sl, :].astype(jnp.float32) *
+                            # stage through qs to pick up the ones lane
+                            qs[pl.ds(0, rows), 0:D] = q_ref[0, sl, :]
+                            qi = (qs[pl.ds(0, rows), :]
+                                  .astype(jnp.float32) *
                                   scale).astype(ks.dtype)
                             lse_i = lsc[sl, bi:bi + 1]
                             m_i = mcol[sl, :]
@@ -659,16 +731,16 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             pltpu.VMEM((S, D), jnp.float32),       # dq acc
             pltpu.VMEM((S, D), jnp.float32),       # dk acc
             pltpu.VMEM((S, D), jnp.float32),       # dv acc
-            # lanes 0..nbr-1 lse; nbr+2 bias col; nbr+4 assembled
-            # bias; nbr+5..nbr+7 window-order lse/m/Z (batched path)
+            # lanes 0..nbr-1 lse; nbr+2 bias col (pre-divided by
+            # scale); nbr+5..nbr+7 window-order lse/m/Z (batched path)
             pltpu.VMEM((S, _MAX_BRANCHES + 8), jnp.float32),
             pltpu.VMEM((S, 1), jnp.float32),       # m
             pltpu.VMEM((S, 1), jnp.float32),       # Z
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled K
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
             pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc
             pltpu.VMEM((max_wr, D), jnp.float32),  # dv segment acc
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled Q
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled Q+ones
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled dmix
         ],
         compiler_params=_kernel_params(),
