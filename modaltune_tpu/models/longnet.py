@@ -30,6 +30,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.activations import gelu_exact
 from ..configs import LongNetConfig
@@ -85,9 +86,12 @@ class DilatedSelfAttention(nn.Module):
                  pre_combed: bool = False):
         c = self.cfg
         d = c.embed_dim
-        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+        q = checkpoint_name(nn.Dense(d, dtype=self.dtype,
+                                     name="q_proj")(x), "attn_qkv")
+        k = checkpoint_name(nn.Dense(d, dtype=self.dtype,
+                                     name="k_proj")(x), "attn_qkv")
+        v = checkpoint_name(nn.Dense(d, dtype=self.dtype,
+                                     name="v_proj")(x), "attn_qkv")
         b, l = x.shape[0], x.shape[1]
         split = lambda t: t.reshape(b, l, c.num_heads, c.head_dim)
         out = None
@@ -147,6 +151,7 @@ class FeedForwardNetwork(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
         x = nn.Dense(c.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        x = checkpoint_name(x, "ffn_fc1")
         # reference computes the activation in fp32: activation_fn(x.float())
         x = gelu_exact(x)
         x = nn.Dropout(c.activation_dropout)(x, deterministic=deterministic)
@@ -241,6 +246,15 @@ def remat_policy(name: str):
         return jax.checkpoint_policies.save_only_these_names(
             "flash_out", "flash_lse", "dilated_out", "dilated_lse",
             "dilated_stats")
+    if name == "flash_ffn":
+        # additionally keep the fc1 pre-activation and the q/k/v
+        # projections (~3.6 GB at the 10k-patch bench geometry): the
+        # backward skips re-running those matmuls. Full no-remat OOMs
+        # (31.7 GB measured) because the adapter's dense interaction
+        # maps get saved too — this list is the HBM-affordable middle.
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse", "dilated_out", "dilated_lse",
+            "dilated_stats", "ffn_fc1", "attn_qkv")
     raise ValueError(f"unknown remat policy {name!r}")
 
 

@@ -530,12 +530,16 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
                dq_ref, dk_ref, dv_ref,
                dqa, dka, dva, lsc, mcol, zcol, ks, vs, dks, dvs,
-               qs, dms):
+               qs, dms, dos):
         bh = pl.program_id(0)
         h = bh % H
         dqa[...] = jnp.zeros_like(dqa)
         dka[...] = jnp.zeros_like(dka)
         dva[...] = jnp.zeros_like(dva)
+        # V's spare MXU-epilogue lane carries ones: the dp matmul's
+        # dO side carries -delta in the matching lane, so the matmul
+        # emits dp - delta directly (see tile_grads)
+        vs[:, D:D + 1] = jnp.ones((max_wr, 1), vs.dtype)
         for bi in range(nbr):
             _row_to_col(lsc, bi, st_ref, bi, S)
         _row_to_col(mcol, 0, st_ref, nbr, S)
@@ -568,7 +572,7 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     src = pl.ds(j * MB + kt0, krows)
                     dst = pl.ds(c * krows, krows)
                     ks[dst, 0:D] = k_ref[0, src, :]
-                    vs[dst, :] = v_ref[0, src, :]
+                    vs[dst, 0:D] = v_ref[0, src, :]
                     ks[dst, D:D + 1] = _key_bias_lane(
                         lsc, nbr + 2, src, kt0, krows, kseg, inv_scale,
                         ks.dtype)
@@ -584,7 +588,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                 jax.lax.fori_loop(0, p.nk, asm, 0)
                 kk1 = ks[pl.ds(0, wr), :]
                 kk = ks[pl.ds(0, wr), 0:D]
-                vv = vs[pl.ds(0, wr), :]
+                vv1 = vs[pl.ds(0, wr), :]
+                vv = vs[pl.ds(0, wr), 0:D]
                 dks[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
                 dvs[pl.ds(0, wr), :] = jnp.zeros((wr, D), jnp.float32)
                 if qm is None:
@@ -600,7 +605,16 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     emits s+bias directly (MXU bias fold), and invalid
                     rows need no explicit zeroing — their lse_exp of
                     -_MASK_THRESHOLD (+5e8) makes exp underflow to an
-                    exact 0."""
+                    exact 0.
+
+                    delta rides the MXU twice instead of costing two
+                    VPU passes over the (rows, wr) tile: the branch
+                    output is recomputed as o = P @ V (so
+                    delta = rowsum(dO*o) touches only D lanes), and
+                    -delta is folded into dO's spare epilogue lane
+                    against V's ones lane, so the dp matmul emits
+                    dp - delta directly."""
+                    rows = qi1.shape[0]
                     qi = qi1[:, 0:D]
                     s = jax.lax.dot_general(
                         qi1, kk1, (((1,), (1,)), ((), ())),
@@ -609,19 +623,25 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     lse_exp = jnp.where(
                         valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
                     pmat = jnp.exp(s - lse_exp)
+                    pb = pmat.astype(vs.dtype)
                     zsafe = jnp.where(z_i > 0, z_i, 1.0)
                     wm = jnp.where(valid,
                                    jnp.exp(lse_i - m_i) / zsafe, 0.0)
                     do = dmix_i * wm
-                    pb = pmat.astype(vs.dtype)
-                    dob = do.astype(vs.dtype)
-                    dp = jax.lax.dot_general(
-                        dob, vv, (((1,), (1,)), ((), ())),
+                    o_t = jax.lax.dot_general(
+                        pb, vv, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=_mm_precision(vv.dtype))
-                    delta = jnp.sum(pmat * dp, axis=-1,
-                                    keepdims=True)
-                    ds_ = pmat * (dp - delta)
+                    delta = jnp.sum(do * o_t, axis=-1, keepdims=True)
+                    dos[pl.ds(0, rows), 0:D] = do.astype(dos.dtype)
+                    dos[pl.ds(0, rows), D:D + 1] = \
+                        (-delta).astype(dos.dtype)
+                    dob1 = dos[pl.ds(0, rows), :]
+                    dp_ = jax.lax.dot_general(
+                        dob1, vv1, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(vv1.dtype))
+                    ds_ = pmat * dp_
                     dsb = ds_.astype(ks.dtype)
                     dq_i = jax.lax.dot_general(
                         dsb, kk, (((1,), (0,)), ((), ())),
@@ -632,7 +652,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         preferred_element_type=jnp.float32,
                         precision=_mm_precision(kk.dtype))
                     dvs[pl.ds(0, wr), :] += jax.lax.dot_general(
-                        pb, dob, (((0,), (0,)), ((), ())),
+                        pb, dos[pl.ds(0, rows), 0:D],
+                        (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=_mm_precision(vv.dtype))
                     return dq_i
@@ -737,11 +758,14 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             pltpu.VMEM((S, 1), jnp.float32),       # m
             pltpu.VMEM((S, 1), jnp.float32),       # Z
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled V
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled V+ones
             pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc
             pltpu.VMEM((max_wr, D), jnp.float32),  # dv segment acc
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled Q+ones
             pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled dmix
+            # dO + (-delta) epilogue lane for the dp-delta MXU fold;
+            # D=48 lanes pad to 128 anyway so the widening is free
+            pltpu.VMEM((max_wr, D + 1), q_c.dtype),
         ],
         compiler_params=_kernel_params(),
         interpret=interpret,

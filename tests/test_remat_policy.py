@@ -24,6 +24,7 @@ def test_remat_policy_names():
     assert remat_policy("full") is None
     assert remat_policy("none") is None
     assert callable(remat_policy("flash"))
+    assert callable(remat_policy("flash_ffn"))
     with pytest.raises(ValueError):
         remat_policy("bogus")
 
@@ -48,6 +49,18 @@ def _grads(policy: str, seed: int = 0):
 @pytest.mark.slow
 def test_policy_is_numerics_neutral_cpu_or_tpu():
     l1, g1 = _grads("flash")
+    l2, g2 = _grads("full")
+    assert np.isfinite(g1).all()
+    np.testing.assert_allclose(l1, l2, rtol=TOL)
+    np.testing.assert_allclose(g1, g2, atol=TOL, rtol=TOL)
+
+
+@pytest.mark.slow
+def test_flash_ffn_policy_is_numerics_neutral():
+    """flash_ffn only widens the saved-residual set (fc1 out, q/k/v
+    projections) — the gradients must match the full-recompute policy
+    bit-for-bit up to reduction-order tolerance."""
+    l1, g1 = _grads("flash_ffn")
     l2, g2 = _grads("full")
     assert np.isfinite(g1).all()
     np.testing.assert_allclose(l1, l2, rtol=TOL)
