@@ -264,8 +264,10 @@ def _attend_block_fused(qi1, kk1, vv1, lse_valid=None):
                             precision=_mm_precision(kk1.dtype))
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True),
                     _MASK_THRESHOLD)
-    p = jnp.exp(s - m)
-    o1 = jax.lax.dot_general(p.astype(vv1.dtype), vv1,
+    # exp emits the matmul dtype directly: the fp32 probability tile is
+    # never materialized in VMEM (one elementwise pass, half the bytes)
+    p = jnp.exp(s - m).astype(vv1.dtype)
+    o1 = jax.lax.dot_general(p, vv1,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_mm_precision(vv1.dtype))
@@ -622,8 +624,12 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         precision=_mm_precision(kk1.dtype))
                     lse_exp = jnp.where(
                         valid, lse_i, jnp.float32(-_MASK_THRESHOLD))
-                    pmat = jnp.exp(s - lse_exp)
-                    pb = pmat.astype(vs.dtype)
+                    # exp emits the operand dtype directly — the fp32
+                    # probability tile never hits VMEM. In fp32 mode
+                    # pb IS pmat (exact); in bf16 mode the dq/dk chain
+                    # below rounds P once, same as the dv matmul always
+                    # did.
+                    pb = jnp.exp(s - lse_exp).astype(vs.dtype)
                     zsafe = jnp.where(z_i > 0, z_i, 1.0)
                     wm = jnp.where(valid,
                                    jnp.exp(lse_i - m_i) / zsafe, 0.0)
@@ -641,8 +647,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         dob1, vv1, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=_mm_precision(vv1.dtype))
-                    ds_ = pmat * dp_
-                    dsb = ds_.astype(ks.dtype)
+                    dsb = (pb.astype(jnp.float32) * dp_
+                           ).astype(ks.dtype)
                     dq_i = jax.lax.dot_general(
                         dsb, kk, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,

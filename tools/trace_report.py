@@ -75,8 +75,11 @@ def main():
         by_class[c] += e["dur"]
         n_by_class[c] += 1
         if a.shapes and c == a.shapes:
-            shape = (e.get("args", {}) or {}).get("shape", "?")
-            by_shape[f"{shape} ({e['name'].split('.')[0]})"] += e["dur"]
+            args = e.get("args", {}) or {}
+            shape = args.get("shape_with_layout", args.get("shape", "?"))
+            shape = re.sub(r"\{[^}]*\}", "", shape)  # strip layout annots
+            src = args.get("source", "?").split("/")[-1]
+            by_shape[f"{shape}  {src}"] += e["dur"]
 
     total = sum(by_class.values())
     print(f"{'op class':<28}{'ms/step':>10}{'count/step':>12}")
