@@ -155,6 +155,26 @@ def main(trace_dir: str = "", with_titan: bool = True,
         "flops_per_step": round(flops / 1e9, 1),
         "mfu": round(mfu, 4),
     }
+    # forward-only (deploy/serving) throughput: the embed step is what
+    # OOD deploy and readout run per slide (reference get_features,
+    # train_modaltune.py:252-327)
+    from modaltune_tpu.train import make_embed_step
+    embed_fn = make_embed_step(model, tcfg)
+
+    def run_embed(n):
+        t0 = time.perf_counter()
+        emb = None
+        for _ in range(n):
+            emb = embed_fn(state, batch)
+        np.asarray(jax.device_get(emb[0]))
+        return time.perf_counter() - t0
+
+    run_embed(2)
+    e_a = run_embed(ITERS_A)
+    e_b = run_embed(ITERS_B)
+    edt = (e_b - e_a) / (ITERS_B - ITERS_A)
+    result["embed"] = {"slides_per_sec": round(1.0 / edt, 3),
+                       "step_ms": round(1000 * edt, 1)}
     if with_titan:
         # second model family, same chip, same JSON line (BENCH contract
         # stays one line; VERDICT r2 next #7)
