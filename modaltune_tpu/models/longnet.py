@@ -52,12 +52,15 @@ def _interpret_forced() -> bool:
     return os.environ.get("MODALTUNE_PALLAS_INTERPRET", "") not in ("", "0")
 
 
-def span_comb_R(c: LongNetConfig, seq_len: int) -> Optional[int]:
+def span_comb_R(c: LongNetConfig, seq_len: int,
+                dtype: Any = None) -> Optional[int]:
     """Max dilation ratio R if the encoder should run this sequence
     length span-resident in the mega kernel's comb_R token order
     (hoisting every per-layer comb/uncomb relayout out of the layer
     loop — every op between attentions is per-token, so the stream can
-    stay permuted across a whole span); None = natural order."""
+    stay permuted across a whole span); None = natural order.
+    ``dtype``: attention operand dtype for the VMEM-fit check (fp32
+    doubles the kernel's windows); None assumes bf16."""
     if (c.seq_axes is not None or c.lora_adapter
             or not c.fused_attention
             or not getattr(c, "mega_attention", True)):
@@ -66,8 +69,10 @@ def span_comb_R(c: LongNetConfig, seq_len: int) -> Optional[int]:
         return None
     if jax.default_backend() != "tpu" and not _interpret_forced():
         return None
+    isz = 2 if dtype is None else jnp.dtype(dtype).itemsize
     if not mega_eligible(seq_len, c.num_heads, c.head_dim,
-                         c.segment_lengths, c.dilated_ratios):
+                         c.segment_lengths, c.dilated_ratios,
+                         itemsize=isz):
         return None
     return max(int(r) for r in c.dilated_ratios)
 
@@ -118,7 +123,8 @@ class DilatedSelfAttention(nn.Module):
                          and jax.default_backend() == "tpu")
             if pallas_ok and c.mega_attention and mega_eligible(
                     l, c.num_heads, c.head_dim, c.segment_lengths,
-                    c.dilated_ratios):
+                    c.dilated_ratios,
+                    itemsize=jnp.dtype(self.dtype).itemsize):
                 attn = mega_dilated_attention
             elif pallas_ok and fused_eligible(l, c.num_heads,
                                               c.head_dim,
@@ -373,7 +379,7 @@ class LongNetEncoder(nn.Module):
         # attentions — LN/FFN/residual/projections — is per-token and
         # order-equivariant), so the per-layer q/k/v comb and output
         # uncomb relayouts vanish from both passes.
-        R = span_comb_R(self.cfg, x.shape[1])
+        R = span_comb_R(self.cfg, x.shape[1], self.dtype)
         m = mask
         if R is not None:
             x = comb(x, R)

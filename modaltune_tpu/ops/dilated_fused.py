@@ -416,10 +416,16 @@ def _covered_fn(plan: _BranchPlan, H: int):
 
 
 def _kernel_params():
-    # default scoped-vmem budget is 16MB; v5e has far more physical
-    # VMEM and the big-segment branches need ~20-50MB of stack
+    # default scoped-vmem budget is 16MB; v5e has 128MB physical and
+    # the big-segment branches need ~20-50MB of stack while the mega
+    # kernel's backward peaks near ~105MB at the 16k bucket.
+    # `mega_eligible`'s VMEM model keeps ineligible shapes off this
+    # path, so the cap can sit just under physical.
+    import os
+    limit = int(os.environ.get("MODALTUNE_VMEM_LIMIT",
+                               127 * 1024 * 1024))
     try:
-        return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        return pltpu.CompilerParams(vmem_limit_bytes=limit)
     except Exception:  # pragma: no cover - older pallas versions
         return None
 

@@ -126,10 +126,48 @@ def make_mega_plans(S: int, segment_lengths: Sequence[int],
     return R, plans
 
 
+# VMEM capacity assumed by the eligibility model (v5e/v5p TensorCore:
+# 128 MiB), minus headroom for Mosaic's own staging
+_VMEM_BUDGET = int(os.environ.get("MODALTUNE_MEGA_VMEM_BUDGET",
+                                  118 * 1024 * 1024))
+
+
+def _lanes(n: int) -> int:
+    """Physical lane count of an n-lane VMEM array (pads to 128)."""
+    return _round_up(max(n, 1), 128)
+
+
+def _vmem_estimate(S: int, D: int, nbr: int, max_wr: int,
+                   itemsize: int = 2) -> int:
+    """Worst-case (backward) VMEM bytes for one grid step: scratch +
+    double-buffered in/out windows. The backward dominates: 3 (S, D)
+    fp32 accumulators + the (S, 16) stats scratch + 7 window-assembly
+    scratches + 6 inputs and 3 outputs. Mirrors _mega_bwd_call's
+    scratch_shapes — keep in sync."""
+    scr = (3 * S * _lanes(D) * 4                     # dq/dk/dv acc
+           + S * _lanes(_MAX_BRANCHES + 8) * 4       # stats lanes
+           + 5 * max_wr * _lanes(D + 1) * itemsize   # ks/vs/qs/dms/dos
+           + 2 * max_wr * _lanes(D) * 4)             # dks/dvs
+    # in/out windows ARE lane-padded to 128 and double-buffered: the
+    # compiler's OOM report at S=25600 (164.48M scoped) matches this
+    # model within ~2% only with (S, 128) window layouts; the packed
+    # (S, 48) hypothesis under-counts by ~60MB
+    win = (2 * (4 * S * _lanes(D) * itemsize         # q/k/v/dmix in
+                + _round_up(1, 8) * S * 4            # bias in
+                + _round_up(nbr + 2, 8) * S * 4)     # stats in
+           + 2 * 3 * S * _lanes(D) * itemsize)       # dq/dk/dv out
+    return scr + win
+
+
 def mega_eligible(S: int, H: int, D: int,
                   segment_lengths: Sequence[int],
-                  dilated_ratios: Sequence[int]) -> bool:
-    """Static-shape eligibility for the mega kernel."""
+                  dilated_ratios: Sequence[int],
+                  itemsize: int = 2) -> bool:
+    """Static-shape eligibility for the mega kernel (callers fall back
+    to the decomposed per-branch path in ops/dilated_fused when this
+    returns False). ``itemsize``: bytes per q/k/v element (2 for the
+    bf16 production path; pass 4 for fp32 operands — the VMEM windows
+    double, so big buckets that fit in bf16 may not in fp32)."""
     if pl is None or len(segment_lengths) != len(dilated_ratios):
         return False
     if len(segment_lengths) > _MAX_BRANCHES:
@@ -139,17 +177,22 @@ def mega_eligible(S: int, H: int, D: int,
         return False
     if not any(int(r) == 1 for r in dilated_ratios):
         return False               # mix semantics assume full coverage
+    max_wr = 0
     for w, r in zip(segment_lengths, dilated_ratios):
         w, r = min(int(w), S), int(r)
         if w % R or H % r or R % r or w // R < 1:
             return False
         plan = _MegaPlan(w, r, S, R)
+        max_wr = max(max_wr, plan.max_wr)
         if plan.max_wr > 8192:
             return False
         if _pick_bq(plan.max_wr, _FWD_SCORE_BUDGET) < 8:
             return False
         if _pick_bq(plan.max_wr, _BWD_SCORE_BUDGET) < 8:
             return False
+    nbr = len(segment_lengths)
+    if _vmem_estimate(S, D, nbr, max_wr, itemsize) > _VMEM_BUDGET:
+        return False
     return True
 
 
@@ -324,18 +367,25 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
     inv_scale = 1.0 / scale
 
+    # all (S, 1) running stats ride spare lanes of the single (S, 16)
+    # stats scratch: a separate (S, 1) fp32 buffer pads its lane dim to
+    # 128 anyway (12.5 MB each at S=25600 — the difference between the
+    # 25k bucket fitting VMEM or not)
+    LM = _MAX_BRANCHES          # running max lane
+    LZ = _MAX_BRANCHES + 1      # running Z lane
+    LB = _MAX_BRANCHES + 2      # key-bias/scale lane
+
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, st_ref,
-               acc, mcol, zcol, lsc, ks, vs, bcol, qs):
+               acc, lsc, ks, vs, qs):
         bh = pl.program_id(0)
         h = bh % H
         acc[...] = jnp.zeros_like(acc)
-        mcol[...] = jnp.full_like(mcol, NEG_INF)
-        zcol[...] = jnp.zeros_like(zcol)
         lsc[...] = jnp.full_like(lsc, NEG_INF)
-        _row_to_col(bcol, 0, b_ref, 0, S)
+        lsc[:, LZ:LZ + 1] = jnp.zeros((S, 1), jnp.float32)
+        _row_to_col(lsc, LB, b_ref, 0, S)
         # pre-divide by scale: the score matmul's q ones-lane carries
         # `scale`, so lane-folded bias contributes scale*(bias/scale)
-        bcol[...] = bcol[...] * inv_scale
+        lsc[:, LB:LB + 1] = lsc[:, LB:LB + 1] * inv_scale
         # spare MXU-epilogue lanes (see _attend_block_fused): v ones,
         # q ones — set once; window assembly only writes lanes 0:D
         vs[:, D:D + 1] = jnp.ones((max_wr, 1), vs.dtype)
@@ -364,8 +414,8 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                 def mix(sl, o, lse):
                     # online cross-branch mix (scattering,
                     # dilated_attention.py:113-144, associative)
-                    m_old = mcol[sl, :]
-                    z_old = zcol[sl, :]
+                    m_old = lsc[sl, LM:LM + 1]
+                    z_old = lsc[sl, LZ:LZ + 1]
                     a_old = acc[sl, :]
                     m_new = jnp.maximum(m_old, lse)
                     m_safe = jnp.maximum(m_new,
@@ -373,8 +423,8 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     corr = jnp.exp(m_old - m_safe)
                     wb = jnp.exp(lse - m_safe)
                     acc[sl, :] = a_old * corr + wb * o
-                    zcol[sl, :] = z_old * corr + wb
-                    mcol[sl, :] = m_new
+                    lsc[sl, LZ:LZ + 1] = z_old * corr + wb
+                    lsc[sl, LM:LM + 1] = m_new
                     # keep the window-overlap winner: invalid rows
                     # carry NEG_INF, so max preserves the real lse
                     prev = lsc[sl, bi:bi + 1]
@@ -392,7 +442,7 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     if batched:
                         qs[dst, 0:D] = q_ref[0, src, :]
                     ks[dst, D:D + 1] = _key_bias_lane(
-                        bcol, 0, src, kt0, krows, kseg, inv_scale,
+                        lsc, LB, src, kt0, krows, kseg, inv_scale,
                         ks.dtype)
                     return 0
 
@@ -462,13 +512,13 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             for kt0, krows, kseg, qm in unrolled:
                 seg_body(kt0, krows, kseg, qm)
 
-        z = zcol[...]
+        z = lsc[:, LZ:LZ + 1]
         zsafe = jnp.where(z > 0, z, 1.0)
         o_ref[0] = (acc[...] / zsafe).astype(o_ref.dtype)
         for bi in range(nbr):
             _col_to_row(st_ref, bi, lsc, bi, S)
-        _col_to_row(st_ref, nbr, mcol, 0, S)
-        _col_to_row(st_ref, nbr + 1, zcol, 0, S)
+        _col_to_row(st_ref, nbr, lsc, LM, S)
+        _col_to_row(st_ref, nbr + 1, lsc, LZ, S)
 
     out, stats = pl.pallas_call(
         kernel,
@@ -489,16 +539,14 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
         ],
         scratch_shapes=[
             pltpu.VMEM((S, D), jnp.float32),       # acc
-            pltpu.VMEM((S, 1), jnp.float32),       # m
-            pltpu.VMEM((S, 1), jnp.float32),       # Z
-            # lanes 0..nbr-1: per-branch lse
+            # lanes 0..nbr-1: per-branch lse; LM/LZ/LB: running
+            # max / running Z / key-bias-over-scale columns
             pltpu.VMEM((S, _MAX_BRANCHES + 3), jnp.float32),
             # K/V/Q carry one MXU-epilogue lane each (bias / ones /
             # ones — see _attend_block_fused); physically free, VMEM
             # lanes pad to 128 regardless
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled V+ones
-            pltpu.VMEM((S, 1), jnp.float32),       # bias column /scale
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled Q+ones
         ],
         compiler_params=_kernel_params(),
@@ -531,7 +579,7 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
                dq_ref, dk_ref, dv_ref,
-               dqa, dka, dva, lsc, mcol, zcol, ks, vs, dks, dvs,
+               dqa, dka, dva, lsc, ks, vs, dks, dvs,
                qs, dms, dos):
         bh = pl.program_id(0)
         h = bh % H
@@ -542,10 +590,11 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
         # dO side carries -delta in the matching lane, so the matmul
         # emits dp - delta directly (see tile_grads)
         vs[:, D:D + 1] = jnp.ones((max_wr, 1), vs.dtype)
-        for bi in range(nbr):
+        # m and Z ride lsc lanes nbr / nbr+1 (same rows as in the
+        # stats plane): separate (S, 1) buffers pad to 128 lanes and
+        # cost 12.5 MB each at the 25k bucket
+        for bi in range(nbr + 2):
             _row_to_col(lsc, bi, st_ref, bi, S)
-        _row_to_col(mcol, 0, st_ref, nbr, S)
-        _row_to_col(zcol, 0, st_ref, nbr + 1, S)
         # bias column rides the spare lse lane, pre-divided by scale
         # for the MXU bias-lane fold (see _attend_block_fused)
         _row_to_col(lsc, nbr + 2, b_ref, 0, S)
@@ -583,8 +632,10 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                         dms[dst, :] = dm_ref[0, src, :]
                         # window-order per-row stats ride spare lanes
                         lsc[dst, nbr + 5:nbr + 6] = lsc[src, bi:bi + 1]
-                        lsc[dst, nbr + 6:nbr + 7] = mcol[src, :]
-                        lsc[dst, nbr + 7:nbr + 8] = zcol[src, :]
+                        lsc[dst, nbr + 6:nbr + 7] = \
+                            lsc[src, nbr:nbr + 1]
+                        lsc[dst, nbr + 7:nbr + 8] = \
+                            lsc[src, nbr + 1:nbr + 2]
                     return 0
 
                 jax.lax.fori_loop(0, p.nk, asm, 0)
@@ -700,8 +751,8 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                                   .astype(jnp.float32) *
                                   scale).astype(ks.dtype)
                             lse_i = lsc[sl, bi:bi + 1]
-                            m_i = mcol[sl, :]
-                            z_i = zcol[sl, :]
+                            m_i = lsc[sl, nbr:nbr + 1]
+                            z_i = lsc[sl, nbr + 1:nbr + 2]
                             dmix_i = dm_ref[0, sl, :].astype(
                                 jnp.float32)
                             valid = lse_i > _MASK_THRESHOLD
@@ -758,11 +809,10 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             pltpu.VMEM((S, D), jnp.float32),       # dq acc
             pltpu.VMEM((S, D), jnp.float32),       # dk acc
             pltpu.VMEM((S, D), jnp.float32),       # dv acc
-            # lanes 0..nbr-1 lse; nbr+2 bias col (pre-divided by
-            # scale); nbr+5..nbr+7 window-order lse/m/Z (batched path)
+            # lanes 0..nbr-1 lse; nbr/nbr+1 m/Z; nbr+2 bias col
+            # (pre-divided by scale); nbr+5..nbr+7 window-order
+            # lse/m/Z (batched path)
             pltpu.VMEM((S, _MAX_BRANCHES + 8), jnp.float32),
-            pltpu.VMEM((S, 1), jnp.float32),       # m
-            pltpu.VMEM((S, 1), jnp.float32),       # Z
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
             pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled V+ones
             pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc

@@ -43,12 +43,17 @@ def test_eligibility():
     assert mega_eligible(10240, 16, 48,
                          (1024, 5792, 32768, 185363, 1048576),
                          (1, 2, 4, 8, 16))
-    # every default training bucket (+cls) must stay eligible
+    # default training buckets (+cls) up to 16384 are eligible; the
+    # 25600 bucket's backward needs 164.5MB scoped VMEM (compiler
+    # OOM report, v5e has 128MB physical) so it must be REJECTED here
+    # and served by the decomposed per-branch path instead — before
+    # the VMEM model, eligibility said yes and the compile crashed
     from modaltune_tpu.data.datasets import DEFAULT_BUCKETS
     for b in DEFAULT_BUCKETS:
+        want = (b + 1) <= 16384
         assert mega_eligible(b + 1, 16, 48,
                              (1024, 5792, 32768, 185363, 1048576),
-                             (1, 2, 4, 8, 16)), b
+                             (1, 2, 4, 8, 16)) == want, b
     # ineligible: no r=1 branch / w not a multiple of R
     assert not mega_eligible(S, H, D, (128,), (2,))
     assert not mega_eligible(S, H, D, (64, 90), (1, 4))
