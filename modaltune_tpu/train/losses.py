@@ -45,6 +45,18 @@ def l2_normalize(x, axis=-1, eps=1e-12):
                            eps)
 
 
+def kd_kl_per_slide(logits, text_proj, temperature: float = 1.0):
+    """Per-slide sum-reduction KL of the PromptKD objective
+    (``train_modaltune.py:211-233``), unscaled: (B, T, D) -> (B,).
+    Exposed separately so callers that must exclude padded batch rows
+    (mesh-sharded eval) can weight rows before reducing."""
+    t = temperature
+    logits = l2_normalize(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32) / t, axis=-1)
+    q = jax.nn.softmax(text_proj.astype(jnp.float32) / t, axis=-1)
+    return jnp.sum(q * (jnp.log(q) - logp), axis=(-2, -1))
+
+
 def kd_loss(logits, text_proj, temperature: float = 1.0,
             scale: float = 10.0):
     """PromptKD KL loss.
@@ -56,12 +68,8 @@ def kd_loss(logits, text_proj, temperature: float = 1.0,
     "sum"; averaging over the slide axis keeps per-step gradient scale
     identical under data-parallel batching).
     """
-    t = temperature
-    logits = l2_normalize(logits, axis=-1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32) / t, axis=-1)
-    q = jax.nn.softmax(text_proj.astype(jnp.float32) / t, axis=-1)
-    per_slide = jnp.sum(q * (jnp.log(q) - logp), axis=(-2, -1))
-    return jnp.mean(per_slide) * (t ** 2) * scale
+    per_slide = kd_kl_per_slide(logits, text_proj, temperature)
+    return jnp.mean(per_slide) * (temperature ** 2) * scale
 
 
 def cross_entropy_loss(logits, labels):

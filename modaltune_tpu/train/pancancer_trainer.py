@@ -68,22 +68,29 @@ class PanCancerTrainer(ModalTuneTrainer):
     def evaluate(self, stage: str) -> Dict[str, float]:
         loader = self.eval_loaders[stage]
         by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
-        losses, x0, meta = [], [], []
-        from .trainer import _device_batch
+        loss_num, loss_den, x0, meta = 0.0, 0, [], []
+        from .trainer import _device_batch, _row_valid
+        # same mesh/multi-host contract as the base trainer: local state
+        # view for per-process jits, padded wrap rows excluded from both
+        # the loss and the per-site metric pools
+        state = self._local_state()
         for batch in loader:
-            logits, loss = self._eval_step(self.state,
+            logits, loss = self._eval_step(state,
                                            _device_batch(batch),
-                                           self._text_targets(batch))
-            losses.append(float(loss))
-            x0.append(np.asarray(logits[:, 0], np.float32))
-            meta.extend(by_case[c] for c in batch.case_ids)
+                                           self._text_targets(batch),
+                                           _row_valid(batch))
+            real = len(batch.case_ids) - batch.pad_rows
+            loss_num += float(loss) * real
+            loss_den += real
+            x0.append(np.asarray(logits[:real, 0], np.float32))
+            meta.extend(by_case[c] for c in batch.case_ids[:real])
         x0 = np.concatenate(x0)
         sites = np.array([site_of(m) for m in meta])
         y = np.array([m.get("primary_class", -1) for m in meta], int)
         t = np.array([m.get("durations", np.nan) for m in meta], float)
         e = np.array([m.get("vital_status", 0) for m in meta], int)
 
-        out = {f"{stage}_cls_loss": float(np.mean(losses))}
+        out = {f"{stage}_cls_loss": loss_num / max(loss_den, 1)}
         bal_accs, cidx = [], []
         for s in range(self.num_sites):
             sel = sites == s

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import TrainConfig
-from .losses import kd_loss, l2_normalize, project_text
+from .losses import kd_kl_per_slide, kd_loss, l2_normalize, project_text
 from .state import TrainState, merge_params
 
 
@@ -118,8 +118,13 @@ def _maybe_shard_eval(step, mesh, n_out: int):
         batch_in = {k: v for k, v in batch.items() if v is not None}
         in_batch = {k: bspec.get(k, P(DATA_AXIS)) for k in batch_in}
         out_specs = tuple([P(DATA_AXIS)] + [P()] * (n_out - 1))
+        # every per-slide operand (text_targets, row-validity weights)
+        # shards with the batch — replicating them broadcasts each
+        # device's logits against the FULL batch's targets: a shape
+        # error for >1 row/device, silently-wrong loss at exactly 1
         fn = shard_map(step, mesh=mesh,
-                       in_specs=(P(), in_batch) + (P(),) * len(rest),
+                       in_specs=(P(), in_batch) +
+                                (P(DATA_AXIS),) * len(rest),
                        out_specs=out_specs if n_out > 1 else P(DATA_AXIS),
                        check_vma=False)
         return fn(state, batch_in, *rest)
@@ -130,21 +135,30 @@ def _maybe_shard_eval(step, mesh, n_out: int):
 def make_eval_step(model, cfg: TrainConfig,
                    task_ids: Optional[tuple] = None,
                    mesh=None) -> Callable:
-    """Returns jitted ``eval_step(state, batch, text_targets)`` ->
-    (logits (B,T,D) raw embeddings, loss). Matches ``evaluate``
-    (``train_modaltune.py:388-458``): loss on normalized embeddings, the
-    exported logits stay unnormalized. With ``mesh`` the batch is
-    data-sharded and the loss is pmean'd across devices."""
+    """Returns jitted ``eval_step(state, batch, text_targets,
+    row_valid)`` -> (logits (B,T,D) raw embeddings, loss). Matches
+    ``evaluate`` (``train_modaltune.py:388-458``): loss on normalized
+    embeddings, the exported logits stay unnormalized. ``row_valid`` is
+    a (B,) 0/1 mask excluding wrap-around padded rows from the loss (the
+    reference never pads — batch_size 1). With ``mesh`` the batch,
+    text targets, and mask are data-sharded and the loss is the
+    psum-weighted mean over REAL rows across devices."""
 
-    def step(state: TrainState, batch: dict, text_targets):
+    def step(state: TrainState, batch: dict, text_targets, row_valid):
         params = merge_params(state.frozen, state.trainable)
         logits = multitask_logits(model, params, batch, cfg.num_tasks,
                                   deterministic=True)
-        loss = kd_loss(logits, text_targets, temperature=cfg.temperature,
-                       scale=cfg.kd_loss_scale)
+        per = kd_kl_per_slide(logits, text_targets,
+                              temperature=cfg.temperature)
+        rv = row_valid.astype(jnp.float32)
+        num = jnp.sum(per * rv)
+        den = jnp.sum(rv)
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
-            loss = jax.lax.pmean(loss, DATA_AXIS)
+            num = jax.lax.psum(num, DATA_AXIS)
+            den = jax.lax.psum(den, DATA_AXIS)
+        loss = (num / jnp.maximum(den, 1.0)) * (cfg.temperature ** 2) * \
+            cfg.kd_loss_scale
         return logits, loss
 
     return _maybe_shard_eval(step, mesh, n_out=2)

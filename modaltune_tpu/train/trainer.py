@@ -54,6 +54,17 @@ def _device_batch(batch: Batch) -> dict:
     return out
 
 
+def _row_valid(batch: Batch) -> jnp.ndarray:
+    """(B,) 1/0 mask of real vs wrap-around padded rows (pad_to_batch
+    mode keeps mesh shapes static; the padded rows must not count toward
+    eval losses or metrics)."""
+    b = len(batch.case_ids)
+    rv = np.ones(b, np.float32)
+    if batch.pad_rows:
+        rv[b - batch.pad_rows:] = 0.0
+    return jnp.asarray(rv)
+
+
 class _NullLogger:
     """Metrics sink for non-zero processes in multi-host runs."""
 
@@ -268,14 +279,18 @@ class ModalTuneTrainer:
         train_modaltune.py:388-458)."""
         loader = self.eval_loaders[stage]
         by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
-        losses, x0, meta = [], [], []
+        loss_num, loss_den, x0, meta = 0.0, 0, [], []
         state = self._local_state()
         for batch in loader:
             logits, loss = self._eval_step(state,
                                            _device_batch(batch),
-                                           self._text_targets(batch))
-            losses.append(float(loss))
+                                           self._text_targets(batch),
+                                           _row_valid(batch))
             real = len(batch.case_ids) - batch.pad_rows
+            # per-batch losses already exclude padded rows; weight by
+            # real count so uneven final batches don't skew the mean
+            loss_num += float(loss) * real
+            loss_den += real
             x0.append(np.asarray(logits[:real, 0], np.float32))
             meta.extend(by_case[c] for c in batch.case_ids[:real])
         x0 = np.concatenate(x0)
@@ -283,7 +298,7 @@ class ModalTuneTrainer:
         t = np.array([m.get("durations", np.nan) for m in meta], float)
         e = np.array([m.get("vital_status", 0) for m in meta], int)
 
-        out = {f"{stage}_cls_loss": float(np.mean(losses))}
+        out = {f"{stage}_cls_loss": loss_num / max(loss_den, 1)}
         if self._lr_head is not None:
             xf, yf = filter_labelset(x0, y)
             if len(yf):

@@ -100,25 +100,50 @@ def test_spmd_seq_parallel_runs():
 @pytest.mark.slow
 def test_mesh_aware_eval_and_embed_match_single_device():
     """Eval/embed steps under a data mesh shard the batch per device
-    (VERDICT weak #7) and agree with the single-device results."""
+    and agree with the single-device results.
+
+    Deliberately hardened: batch = 2 rows/device (a replicated
+    ``text_targets`` crashes with a broadcast shape error there instead
+    of silently mis-pairing) and the model is briefly trained first so
+    the normalized-logit softmax is non-degenerate — near init it is
+    almost uniform and a cross-slide target mix-up stays inside any
+    reasonable tolerance."""
     import numpy as np
     from modaltune_tpu.train.state import TrainState, make_optimizer
     from modaltune_tpu.train.train_step import (make_embed_step,
                                                 make_eval_step)
-    n = min(4, len(jax.devices()))
+    n_dev = min(4, len(jax.devices()))
+    n = 2 * n_dev
     cfg, model, params, inputs, text = _setup(n)
-    tcfg = TrainConfig(lr=1e-3, num_epochs=2, warmup_epochs=1)
+    tcfg = TrainConfig(lr=1e-2, num_epochs=2, warmup_epochs=1)
     tx = make_optimizer(tcfg, steps_per_epoch=1)
     state = TrainState.create(params, tx)
-    mesh = make_mesh(n_data=n, n_seq=1)
+    train = make_train_step(model, tcfg, donate=False)
+    for i in range(5):
+        state, _ = train(state, inputs, text, jax.random.PRNGKey(i))
+    mesh = make_mesh(n_data=n_dev, n_seq=1)
 
+    ones = jnp.ones(n, jnp.float32)
     single_eval = make_eval_step(model, tcfg)
     mesh_eval = make_eval_step(model, tcfg, mesh=mesh)
-    l1, loss1 = single_eval(state, inputs, text)
-    l2, loss2 = mesh_eval(state, inputs, text)
+    l1, loss1 = single_eval(state, inputs, text, ones)
+    l2, loss2 = mesh_eval(state, inputs, text, ones)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                atol=2e-5, rtol=2e-5)
-    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-3)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+
+    # padded wrap rows must not contribute: masking the last 3 rows on
+    # the mesh equals the single-device loss over the real rows alone
+    rv = np.ones(n, np.float32)
+    rv[-3:] = 0.0
+    _, loss_pad = mesh_eval(state, inputs, text, jnp.asarray(rv))
+    real = n - 3
+    inputs_real = {k: (None if v is None else v[:real])
+                   for k, v in inputs.items()}
+    _, loss_real = single_eval(state, inputs_real, text[:real],
+                               jnp.ones(real, jnp.float32))
+    np.testing.assert_allclose(float(loss_pad), float(loss_real),
+                               rtol=2e-4)
 
     single_emb = make_embed_step(model, tcfg)
     mesh_emb = make_embed_step(model, tcfg, mesh=mesh)
