@@ -7,6 +7,8 @@ from .slide_encoder import LongNetViT, PatchEmbed, coords_pos_embed
 from .gene import GeneMixerEncoder, GeneOnlyModel
 from .heads import classifier_logits, survival_from_logits
 from .adapter import Extractor, Injector, InteractionBlock
+from .mil import (AbmilModel, GatedAttentionPool, NystromSelfAttention,
+                  TransMilModel)
 from .modaltune import ModalTuneModel
 from .titan import (AttentionalPooler, TitanModalTuneModel, TitanViT,
                     alibi_bias, grid_scatter_bag)
@@ -19,6 +21,8 @@ __all__ = [
     "LongNetViT", "PatchEmbed", "coords_pos_embed", "GeneMixerEncoder",
     "GeneOnlyModel", "classifier_logits", "survival_from_logits",
     "Extractor", "Injector", "InteractionBlock", "ModalTuneModel",
+    "AbmilModel", "GatedAttentionPool", "NystromSelfAttention",
+    "TransMilModel",
     "AttentionalPooler", "TitanModalTuneModel", "TitanViT", "alibi_bias",
     "grid_scatter_bag",
 ]

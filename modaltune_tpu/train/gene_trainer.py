@@ -47,19 +47,26 @@ def to_bins(durations: np.ndarray, edges: np.ndarray) -> np.ndarray:
 
 
 class GeneBaselineTrainer:
-    """Epoch loop + best-val selection for a GeneOnlyModel."""
+    """Epoch loop + best-val selection for a supervised baseline model.
+
+    Generic over the model's inputs via ``_model_inputs``: the genomics
+    baseline feeds the packed gene blocks; ``MilBaselineTrainer``
+    (train/mil_trainer.py) reuses the same loop for bag-based MIL
+    models."""
 
     def __init__(self, model, cfg: TrainConfig, datasets: Dict,
-                 out_dir: str, batch_size: int = 8):
+                 out_dir: str, batch_size: int = 8, buckets=None):
         assert model.mode in ("classifier", "survival"), model.mode
         self.model = model
         self.cfg = cfg
         self.datasets = datasets
         self.out_dir = Path(out_dir)
         self.logger = MetricsLogger(str(self.out_dir))
+        loader_kw = {} if buckets is None else {"buckets": buckets}
         self.loaders = {
             k: BucketedLoader(datasets[k], batch_size=batch_size,
-                              shuffle=(k == "train"), seed=cfg.seed)
+                              shuffle=(k == "train"), seed=cfg.seed,
+                              **loader_kw)
             for k in ("train", "val", "test") if k in datasets}
         self.best_metric = float("-inf")
         self.state: Optional[TrainState] = None
@@ -77,6 +84,11 @@ class GeneBaselineTrainer:
         return (jnp.asarray(to_bins(batch.duration, self._edges)),
                 jnp.asarray(batch.event))
 
+    def _model_inputs(self, batch) -> tuple:
+        """Positional device inputs for ``model.apply`` — override for
+        models that consume more than the gene blocks."""
+        return (jnp.asarray(batch.genes),)
+
     def init_state(self, params: dict) -> TrainState:
         tx = make_optimizer(self.cfg,
                             steps_per_epoch=max(1, len(self.loaders[
@@ -84,10 +96,10 @@ class GeneBaselineTrainer:
         self.state = TrainState.create(params, tx)
         mode = self.model.mode
 
-        def train_step(state, genes, y, events, rng):
+        def train_step(state, inputs, y, events, rng):
             def loss_fn(trainable):
                 out = self.model.apply(
-                    {"params": trainable}, genes, deterministic=False,
+                    {"params": trainable}, *inputs, deterministic=False,
                     rngs={"dropout": rng})
                 if mode == "classifier":
                     return cross_entropy_loss(out, y)
@@ -97,8 +109,8 @@ class GeneBaselineTrainer:
             loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
             return state.apply_gradients(grads), loss
 
-        def eval_step(state, genes):
-            return self.model.apply({"params": state.trainable}, genes,
+        def eval_step(state, inputs):
+            return self.model.apply({"params": state.trainable}, *inputs,
                                     deterministic=True)
 
         self._train_step = jax.jit(train_step)
@@ -113,7 +125,7 @@ class GeneBaselineTrainer:
             y, events = self._targets(batch)
             self._rng, sub = jax.random.split(self._rng)
             self.state, loss = self._train_step(
-                self.state, jnp.asarray(batch.genes), y, events, sub)
+                self.state, self._model_inputs(batch), y, events, sub)
             total += float(loss)
             n += 1
         return total / max(n, 1)
@@ -121,7 +133,7 @@ class GeneBaselineTrainer:
     def evaluate(self, stage: str) -> Dict[str, float]:
         ys, preds, probs, risks, ts, es = [], [], [], [], [], []
         for batch in self.loaders[stage]:
-            out = self._eval_step(self.state, jnp.asarray(batch.genes))
+            out = self._eval_step(self.state, self._model_inputs(batch))
             if self.model.mode == "classifier":
                 logits = np.asarray(out, np.float32)
                 preds.append(logits.argmax(-1))

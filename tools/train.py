@@ -66,7 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "longnetvit_gene_clinical_adapter",
                             "titan_gene_adapter",
                             "titan_gene_clinical_adapter",
-                            "gene_mixer_group"])
+                            "gene_mixer_group", "abmil", "transmil"])
+    p.add_argument("--fusion", default="none", choices=["none", "cat"],
+                   help="'cat' adds the gene-mixer late-fusion branch to "
+                        "the abmil/transmil baselines (the paper's "
+                        "'(cat)' rows)")
     p.add_argument("--num_tasks", default=3, type=int)
     p.add_argument("--num_classes", default=2, type=int,
                    help="classifier/survival head width for the "
@@ -191,6 +195,45 @@ def run_gene_baseline(args, datasets, packer):
     return best
 
 
+def run_mil_baseline(args, datasets, packer):
+    """Supervised ABMIL / TransMIL baselines over cached feature bags
+    (BASELINE.json target configs #1-#2; reference CLI default
+    ``--mil_name abmil``, train_modaltune.py:615)."""
+    import jax
+    import jax.numpy as jnp
+    from modaltune_tpu.configs import GeneEncoderConfig, TrainConfig
+    from modaltune_tpu.models import create_aggregator
+    from modaltune_tpu.train.mil_trainer import MilBaselineTrainer
+
+    kwargs = dict(n_classes=args.num_classes, mode=args.mode)
+    if args.fusion == "cat":
+        kwargs.update(gene_cfg=GeneEncoderConfig(),
+                      n_gene_groups=packer.n_groups,
+                      max_group_len=packer.max_group_len)
+    model = create_aggregator(args.mil_name, **kwargs)
+    tcfg = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
+                       beta1=args.beta1, beta2=args.beta2,
+                       num_epochs=args.num_epochs, seed=args.seed,
+                       eval_interval=args.eval_interval)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    out_dir = Path(args.output_path) / f"seed_{args.seed}"
+    trainer = MilBaselineTrainer(model, tcfg, datasets, str(out_dir),
+                                 batch_size=max(args.batch_size, 4),
+                                 buckets=buckets)
+    rng = np.random.RandomState(0)
+    ex = datasets["train"].get(0, rng)
+    l0 = min(ex.bag.shape[0], 256)
+    init_args = [jnp.asarray(ex.bag[None, :l0]),
+                 jnp.asarray(np.ones((1, l0), bool))]
+    if args.fusion == "cat":
+        init_args.append(jnp.asarray(ex.genes[None]))
+    params = jax.jit(lambda r: model.init(r, *init_args)["params"])(
+        jax.random.PRNGKey(args.seed))
+    best = trainer.run(params)
+    print(f"seed {args.seed}: best val metric = {best:.4f}")
+    return best
+
+
 def run_one_seed(args):
     import jax
     import jax.numpy as jnp
@@ -215,6 +258,8 @@ def run_one_seed(args):
 
     if args.mil_name == "gene_mixer_group":
         return run_gene_baseline(args, datasets, packer)
+    if args.mil_name in ("abmil", "transmil"):
+        return run_mil_baseline(args, datasets, packer)
 
     if args.mil_name.startswith("titan"):
         # TITAN consumes grid-scattered cells, not raw patch bags
