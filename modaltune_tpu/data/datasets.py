@@ -241,7 +241,16 @@ class SyntheticSlideDataset:
                  bag_range: Tuple[int, int] = (500, 2000),
                  packer: Optional[GenePacker] = None, n_genes: int = 60,
                  n_classes: int = 2, clinical_dim: int = 0,
-                 n_sites: int = 1, threshold: int = 25000, seed: int = 0):
+                 n_sites: int = 1, threshold: int = 25000, seed: int = 0,
+                 learnable: bool = False):
+        """``learnable=True`` derives the labels from the inputs instead
+        of sampling them: the subtype label is the sign of the first
+        gene block's mean (and shifts the bag features by the label so
+        both modalities carry it), and survival risk follows the second
+        gene block — a stand-in for TCGA metric parity in environments
+        without the real data (the closest available analogue of the
+        reference's readout protocol, ``test_utils_modaltune.py:133-171``
+        on real labels)."""
         from .pathways import synthetic_pathways
         rng = np.random.RandomState(seed)
         if packer is None:
@@ -253,19 +262,32 @@ class SyntheticSlideDataset:
         self._examples = []
         for i in range(n_cases):
             l = rng.randint(*bag_range)
-            label = rng.randint(n_classes)
+            gvec = rng.randn(n_genes).astype(np.float32)
+            bag = rng.randn(l, in_chans).astype(np.float32)
+            if learnable:
+                k = max(4, n_genes // 4)
+                label = int(gvec[:k].mean() > 0)
+                bag = bag + 0.5 * label
+                risk = float(gvec[k:2 * k].mean())
+                duration = float(np.clip(60.0 * np.exp(-2.0 * risk)
+                                         + rng.randn() * 2.0, 1.0, 240.0))
+                event = int(rng.rand() < 0.8)
+            else:
+                label = rng.randint(n_classes)
+                duration = float(rng.randint(1, 120))
+                event = int(rng.rand() < 0.6)
             site = rng.randint(n_sites)
             self._examples.append(Example(
-                bag=rng.randn(l, in_chans).astype(np.float32),
+                bag=bag,
                 coords=(rng.randint(0, 900, (l, 2)) * 256.0
                         ).astype(np.float32),
-                genes=packer.pack(rng.randn(n_genes).astype(np.float32)),
+                genes=packer.pack(gvec),
                 text=rng.randn(4, 512).astype(np.float32),
                 clinical=(rng.randn(clinical_dim).astype(np.float32)
                           if clinical_dim else None),
                 label=label,
-                duration=float(rng.randint(1, 120)),
-                event=int(rng.rand() < 0.6),
+                duration=duration,
+                event=event,
                 case_id=f"case_{i:04d}",
                 site=site))
         self.case_ids = [e.case_id for e in self._examples]

@@ -139,11 +139,11 @@ def _lanes(n: int) -> int:
 
 def _vmem_estimate(S: int, D: int, nbr: int, max_wr: int,
                    itemsize: int = 2) -> int:
-    """Worst-case (backward) VMEM bytes for one grid step: scratch +
-    double-buffered in/out windows. The backward dominates: 3 (S, D)
-    fp32 accumulators + the (S, 16) stats scratch + 7 window-assembly
-    scratches + 6 inputs and 3 outputs. Mirrors _mega_bwd_call's
-    scratch_shapes — keep in sync."""
+    """Worst-case (monolithic backward) VMEM bytes for one grid step:
+    scratch + double-buffered in/out windows. The backward dominates:
+    3 (S, D) fp32 accumulators + the (S, 16) stats scratch + 7
+    window-assembly scratches + 6 inputs and 3 outputs. Mirrors
+    _mega_bwd_call's scratch_shapes — keep in sync."""
     scr = (3 * S * _lanes(D) * 4                     # dq/dk/dv acc
            + S * _lanes(_MAX_BRANCHES + 8) * 4       # stats lanes
            + 5 * max_wr * _lanes(D + 1) * itemsize   # ks/vs/qs/dms/dos
@@ -159,41 +159,102 @@ def _vmem_estimate(S: int, D: int, nbr: int, max_wr: int,
     return scr + win
 
 
-def mega_eligible(S: int, H: int, D: int,
-                  segment_lengths: Sequence[int],
-                  dilated_ratios: Sequence[int],
-                  itemsize: int = 2) -> bool:
-    """Static-shape eligibility for the mega kernel (callers fall back
-    to the decomposed per-branch path in ops/dilated_fused when this
-    returns False). ``itemsize``: bytes per q/k/v element (2 for the
-    bf16 production path; pass 4 for fp32 operands — the VMEM windows
-    double, so big buckets that fit in bf16 may not in fp32)."""
+_OUT_CHUNK = 2048    # rows per VMEM->HBM output-staging DMA (hbm_io)
+
+
+def _vmem_estimate_fwd(S: int, D: int, nbr: int, max_wr: int,
+                       itemsize: int = 2) -> int:
+    """Forward-kernel VMEM bytes (mirrors _mega_fwd_call's scratches +
+    windows). Much leaner than the backward: one fp32 accumulator and
+    3 assembly scratches."""
+    scr = (S * _lanes(D) * 4                         # acc
+           + S * _lanes(_MAX_BRANCHES + 3) * 4       # lsc
+           + 3 * max_wr * _lanes(D + 1) * itemsize)  # ks/vs/qs
+    win = (2 * (3 * S * _lanes(D) * itemsize         # q/k/v in
+                + _round_up(1, 8) * S * 4)           # bias in
+           + 2 * (S * _lanes(D) * itemsize           # out
+                  + _round_up(nbr + 2, 8) * S * 4))  # stats out
+    return scr + win
+
+
+def _vmem_estimate_bwd_hbm(S: int, D: int, nbr: int, max_wr: int,
+                           itemsize: int = 2) -> int:
+    """Backward VMEM with HBM-resident q/dmix ins and dq/dk/dv outs
+    (``hbm_io``): k/v/bias/stats keep their (small enough) BlockSpec
+    windows, while the q/dmix windows and the three output windows —
+    whose 128-lane-padded double-buffered copies blow the monolithic
+    estimate past the chip at S=25600 — move to on-demand DMA against
+    128-lane-padded HBM arrays (Mosaic requires lane-aligned DMA
+    slices; the pad/slice is an XLA copy outside the kernel)."""
+    scr = (3 * S * _lanes(D) * 4                     # dq/dk/dv acc
+           + S * _lanes(_MAX_BRANCHES + 8) * 4       # stats lanes
+           + 5 * max_wr * _lanes(D + 1) * itemsize   # ks/vs/qs/dms/dos
+           + 2 * max_wr * _lanes(D) * 4              # dks/dvs
+           + _OUT_CHUNK * _lanes(D) * itemsize)      # out staging
+    win = 2 * (2 * S * _lanes(D) * itemsize          # k/v in
+               + _round_up(1, 8) * S * 4             # bias in
+               + _round_up(nbr + 2, 8) * S * 4)      # stats in
+    return scr + win
+
+
+def mega_mode(S: int, H: int, D: int,
+              segment_lengths: Sequence[int],
+              dilated_ratios: Sequence[int],
+              itemsize: int = 2) -> Optional[str]:
+    """Static-shape kernel-flavor choice:
+
+    - ``"mono"``: both kernels fit VMEM with BlockSpec-windowed I/O
+      (double-buffered (S, D) windows) — the fastest path.
+    - ``"hbm_bwd"``: the forward fits but the monolithic backward does
+      not (e.g. the reference's 25,599-patch flagship bucket); the
+      backward runs with HBM-resident q/k/v/dmix/dq/dk/dv and
+      per-window DMA instead.
+    - ``None``: ineligible — callers fall back to the decomposed
+      per-branch path in ops/dilated_fused.
+
+    ``itemsize``: bytes per q/k/v element (2 for the bf16 production
+    path; pass 4 for fp32 operands — the VMEM windows double, so big
+    buckets that fit in bf16 may not in fp32)."""
     if pl is None or len(segment_lengths) != len(dilated_ratios):
-        return False
+        return None
     if len(segment_lengths) > _MAX_BRANCHES:
-        return False
+        return None
     R = max(int(r) for r in dilated_ratios)
     if R < 2 or S % R or (S // R) % 8:
-        return False
+        return None
     if not any(int(r) == 1 for r in dilated_ratios):
-        return False               # mix semantics assume full coverage
+        return None                # mix semantics assume full coverage
     max_wr = 0
     for w, r in zip(segment_lengths, dilated_ratios):
         w, r = min(int(w), S), int(r)
         if w % R or H % r or R % r or w // R < 1:
-            return False
+            return None
         plan = _MegaPlan(w, r, S, R)
         max_wr = max(max_wr, plan.max_wr)
         if plan.max_wr > 8192:
-            return False
+            return None
         if _pick_bq(plan.max_wr, _FWD_SCORE_BUDGET) < 8:
-            return False
+            return None
         if _pick_bq(plan.max_wr, _BWD_SCORE_BUDGET) < 8:
-            return False
+            return None
     nbr = len(segment_lengths)
-    if _vmem_estimate(S, D, nbr, max_wr, itemsize) > _VMEM_BUDGET:
-        return False
-    return True
+    if _vmem_estimate(S, D, nbr, max_wr, itemsize) <= _VMEM_BUDGET:
+        return "mono"
+    if (_vmem_estimate_fwd(S, D, nbr, max_wr, itemsize) <= _VMEM_BUDGET
+            and _vmem_estimate_bwd_hbm(S, D, nbr, max_wr, itemsize)
+            <= _VMEM_BUDGET):
+        return "hbm_bwd"
+    return None
+
+
+def mega_eligible(S: int, H: int, D: int,
+                  segment_lengths: Sequence[int],
+                  dilated_ratios: Sequence[int],
+                  itemsize: int = 2) -> bool:
+    """True when any mega-kernel flavor covers the shape (see
+    :func:`mega_mode`)."""
+    return mega_mode(S, H, D, segment_lengths, dilated_ratios,
+                     itemsize) is not None
 
 
 def _fori_ok(p: "_MegaPlan") -> bool:
@@ -563,12 +624,21 @@ def _mega_fwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
 def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                    dmix_c, stats, S: int, H: int, scale: float,
                    interpret: bool,
-                   qrange: Optional[Tuple[int, int]] = None):
+                   qrange: Optional[Tuple[int, int]] = None,
+                   hbm_io: bool = False):
     """-> (dq, dk, dv) each (BH, S, D) in q.dtype, comb order.
 
     With ``qrange`` only local q rows contribute: dq rows outside the
     range are zero, and dk/dv hold only this shard's partial sums (the
-    caller reduce-scatters them over the seq axis)."""
+    caller reduce-scatters them over the seq axis).
+
+    ``hbm_io``: q/k/v/dmix stay HBM-resident (``pl.ANY``) and window
+    assembly DMAs each (segment, slab) slice on demand; dq/dk/dv are
+    written back from the VMEM accumulators in ``_OUT_CHUNK``-row DMA
+    chunks. Cuts the grid step's VMEM from ~162 MB to ~70 MB at
+    S=25600 (the monolithic windows are 128-lane-padded and
+    double-buffered), at the cost of ~2x HBM reads of k/v (each branch
+    re-reads its sparse subset; Σ 1/r ≈ 1.94)."""
     BH, _, D = q_c.shape
     R = plans[0].R
     MB = S // R
@@ -580,9 +650,11 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
     def kernel(q_ref, k_ref, v_ref, b_ref, dm_ref, st_ref,
                dq_ref, dk_ref, dv_ref,
                dqa, dka, dva, lsc, ks, vs, dks, dvs,
-               qs, dms, dos):
+               qs, dms, dos, *hbm_scratch):
         bh = pl.program_id(0)
         h = bh % H
+        if hbm_io:
+            stage, sems = hbm_scratch
         dqa[...] = jnp.zeros_like(dqa)
         dka[...] = jnp.zeros_like(dka)
         dva[...] = jnp.zeros_like(dva)
@@ -624,12 +696,31 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     dst = pl.ds(c * krows, krows)
                     ks[dst, 0:D] = k_ref[0, src, :]
                     vs[dst, 0:D] = v_ref[0, src, :]
+                    if batched:
+                        if hbm_io:
+                            # Mosaic DMA slices must be 128-lane
+                            # aligned: q/dmix arrive lane-padded, full
+                            # lane range copied; the ones lane is
+                            # rewritten below (the pad holds zeros)
+                            cps = [pltpu.make_async_copy(
+                                q_ref.at[bh, src, :], qs.at[dst, :],
+                                sems.at[0]),
+                                pltpu.make_async_copy(
+                                dm_ref.at[bh, src, :], dms.at[dst, :],
+                                sems.at[1])]
+                            for cp in cps:
+                                cp.start()
+                            for cp in cps:
+                                cp.wait()
+                            qs[dst, D:D + 1] = jnp.ones(
+                                (krows, 1), qs.dtype)
+                        else:
+                            qs[dst, 0:D] = q_ref[0, src, :]
+                            dms[dst, :] = dm_ref[0, src, :]
                     ks[dst, D:D + 1] = _key_bias_lane(
                         lsc, nbr + 2, src, kt0, krows, kseg, inv_scale,
                         ks.dtype)
                     if batched:
-                        qs[dst, 0:D] = q_ref[0, src, :]
-                        dms[dst, :] = dm_ref[0, src, :]
                         # window-order per-row stats ride spare lanes
                         lsc[dst, nbr + 5:nbr + 6] = lsc[src, bi:bi + 1]
                         lsc[dst, nbr + 6:nbr + 7] = \
@@ -719,12 +810,14 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                     for q0 in range(0, wr, bq):
                         rows = min(bq, wr - q0)
                         w = pl.ds(q0, rows)
-                        qi = (qs[w, :].astype(jnp.float32) *
+                        # hbm_io scratches are 128-lane: slice back to
+                        # the D+1 / D compute widths
+                        qi = (qs[w, 0:D + 1].astype(jnp.float32) *
                               scale).astype(ks.dtype)
                         lse_i = lsc[w, nbr + 5:nbr + 6]
                         m_i = lsc[w, nbr + 6:nbr + 7]
                         z_i = lsc[w, nbr + 7:nbr + 8]
-                        dmix_i = dms[w, :].astype(jnp.float32)
+                        dmix_i = dms[w, 0:D].astype(jnp.float32)
                         valid = lse_i > _MASK_THRESHOLD
                         if qm is not None:
                             valid = valid & _iota_q_valid_mod(
@@ -746,15 +839,33 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
                             rows = min(bq, q_hi - q0)
                             sl = pl.ds(j * MB + kt0 + q0, rows)
                             # stage through qs to pick up the ones lane
-                            qs[pl.ds(0, rows), 0:D] = q_ref[0, sl, :]
-                            qi = (qs[pl.ds(0, rows), :]
+                            if hbm_io:
+                                cps = [pltpu.make_async_copy(
+                                    q_ref.at[bh, sl, :],
+                                    qs.at[pl.ds(0, rows), :],
+                                    sems.at[0]),
+                                    pltpu.make_async_copy(
+                                    dm_ref.at[bh, sl, :],
+                                    dms.at[pl.ds(0, rows), :],
+                                    sems.at[1])]
+                                for cp in cps:
+                                    cp.start()
+                                for cp in cps:
+                                    cp.wait()
+                                qs[pl.ds(0, rows), D:D + 1] = jnp.ones(
+                                    (rows, 1), qs.dtype)
+                                dmix_i = dms[pl.ds(0, rows),
+                                             0:D].astype(jnp.float32)
+                            else:
+                                qs[pl.ds(0, rows), 0:D] = q_ref[0, sl, :]
+                                dmix_i = dm_ref[0, sl, :].astype(
+                                    jnp.float32)
+                            qi = (qs[pl.ds(0, rows), 0:D + 1]
                                   .astype(jnp.float32) *
                                   scale).astype(ks.dtype)
                             lse_i = lsc[sl, bi:bi + 1]
                             m_i = lsc[sl, nbr:nbr + 1]
                             z_i = lsc[sl, nbr + 1:nbr + 2]
-                            dmix_i = dm_ref[0, sl, :].astype(
-                                jnp.float32)
                             valid = lse_i > _MASK_THRESHOLD
                             if qm is not None:
                                 valid = valid & _iota_q_valid(
@@ -786,46 +897,81 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
             for kt0, krows, kseg, qm in unrolled:
                 seg_body(kt0, krows, kseg, qm)
 
-        dq_ref[0] = dqa[...].astype(dq_ref.dtype)
-        dk_ref[0] = dka[...].astype(dk_ref.dtype)
-        dv_ref[0] = dva[...].astype(dv_ref.dtype)
+        if hbm_io:
+            # chunked convert + DMA the fp32 accumulators out to HBM
+            # (outputs are 128-lane padded; caller slices back to D)
+            stage[:, D:] = jnp.zeros_like(stage[:, D:])
+            for out_ref, acc in ((dq_ref, dqa), (dk_ref, dka),
+                                 (dv_ref, dva)):
+                for t0 in range(0, S, _OUT_CHUNK):
+                    rows = min(_OUT_CHUNK, S - t0)
+                    stage[pl.ds(0, rows), 0:D] = \
+                        acc[pl.ds(t0, rows), :].astype(stage.dtype)
+                    cp = pltpu.make_async_copy(
+                        stage.at[pl.ds(0, rows), :],
+                        out_ref.at[bh, pl.ds(t0, rows), :], sems.at[2])
+                    cp.start()
+                    cp.wait()
+        else:
+            dq_ref[0] = dqa[...].astype(dq_ref.dtype)
+            dk_ref[0] = dka[...].astype(dk_ref.dtype)
+            dv_ref[0] = dva[...].astype(dv_ref.dtype)
 
-    return pl.pallas_call(
+    win = pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0))
+    LP = _lanes(D)
+    big = pl.BlockSpec(memory_space=pl.ANY) if hbm_io else win
+    scratch = [
+        pltpu.VMEM((S, D), jnp.float32),       # dq acc
+        pltpu.VMEM((S, D), jnp.float32),       # dk acc
+        pltpu.VMEM((S, D), jnp.float32),       # dv acc
+        # lanes 0..nbr-1 lse; nbr/nbr+1 m/Z; nbr+2 bias col
+        # (pre-divided by scale); nbr+5..nbr+7 window-order
+        # lse/m/Z (batched path)
+        pltpu.VMEM((S, _MAX_BRANCHES + 8), jnp.float32),
+        pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
+        pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled V+ones
+        pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc
+        pltpu.VMEM((max_wr, D), jnp.float32),  # dv segment acc
+        # assembled Q+ones / dmix: full 128-lane DMA targets under
+        # hbm_io (physically identical — lanes pad to 128 regardless)
+        pltpu.VMEM((max_wr, LP if hbm_io else D + 1), q_c.dtype),
+        pltpu.VMEM((max_wr, LP if hbm_io else D), q_c.dtype),
+        # dO + (-delta) epilogue lane for the dp-delta MXU fold;
+        # D=48 lanes pad to 128 anyway so the widening is free
+        pltpu.VMEM((max_wr, D + 1), q_c.dtype),
+    ]
+    if hbm_io:
+        scratch += [pltpu.VMEM((_OUT_CHUNK, LP), q_c.dtype),  # stage
+                    pltpu.SemaphoreType.DMA((4,))]
+    out_D = LP if hbm_io else D
+    if hbm_io:
+        # Mosaic DMA windows must be 128-lane aligned: q/dmix arrive
+        # (and dq/dk/dv leave) lane-padded; the pad/slice is XLA's
+        pad = ((0, 0), (0, 0), (0, LP - D))
+        q_in = jnp.pad(q_c, pad)
+        dm_in = jnp.pad(dmix_c, pad)
+    else:
+        q_in, dm_in = q_c, dmix_c
+    dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            big,
+            win, win,
             pl.BlockSpec((1, 1, S), lambda bh: (bh // H, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0)),
+            big,
             pl.BlockSpec((1, nbr + 2, S), lambda bh: (bh, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, S, D), lambda bh: (bh, 0, 0))
+        out_specs=[big for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct((BH, S, out_D), q_c.dtype)
                    for _ in range(3)],
-        out_shape=[jax.ShapeDtypeStruct((BH, S, D), q_c.dtype)
-                   for _ in range(3)],
-        scratch_shapes=[
-            pltpu.VMEM((S, D), jnp.float32),       # dq acc
-            pltpu.VMEM((S, D), jnp.float32),       # dk acc
-            pltpu.VMEM((S, D), jnp.float32),       # dv acc
-            # lanes 0..nbr-1 lse; nbr/nbr+1 m/Z; nbr+2 bias col
-            # (pre-divided by scale); nbr+5..nbr+7 window-order
-            # lse/m/Z (batched path)
-            pltpu.VMEM((S, _MAX_BRANCHES + 8), jnp.float32),
-            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled K+bias
-            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled V+ones
-            pltpu.VMEM((max_wr, D), jnp.float32),  # dk segment acc
-            pltpu.VMEM((max_wr, D), jnp.float32),  # dv segment acc
-            pltpu.VMEM((max_wr, D + 1), q_c.dtype),  # assembled Q+ones
-            pltpu.VMEM((max_wr, D), q_c.dtype),    # assembled dmix
-            # dO + (-delta) epilogue lane for the dp-delta MXU fold;
-            # D=48 lanes pad to 128 anyway so the widening is free
-            pltpu.VMEM((max_wr, D + 1), q_c.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=_kernel_params(),
         interpret=interpret,
-    )(q_c, k_c, v_c, bias_c, dmix_c, stats)
+    )(q_in, k_c, v_c, bias_c, dm_in, stats)
+    if hbm_io:
+        dq, dk, dv = dq[..., :D], dk[..., :D], dv[..., :D]
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -838,8 +984,10 @@ def _build_mega(B: int, S: int, H: int, D: int,
                 segments: Tuple[int, ...], ratios: Tuple[int, ...],
                 scale: float, interpret: bool,
                 qrange: Optional[Tuple[int, int]] = None,
-                pre_combed: bool = False):
+                pre_combed: bool = False, itemsize: int = 2):
     R, plans = make_mega_plans(S, segments, ratios)
+    hbm_bwd = mega_mode(S, H, D, segments, ratios,
+                        itemsize=itemsize) == "hbm_bwd"
 
     def fwd_impl(qn, kn, vn, vmask):
         if pre_combed:
@@ -866,7 +1014,7 @@ def _build_mega(B: int, S: int, H: int, D: int,
         dmix = g if pre_combed else comb(g, R)
         dq, dk, dv = _mega_bwd_call(plans, qc, kc, vc, bias, dmix,
                                     stats, S, H, scale, interpret,
-                                    qrange=qrange)
+                                    qrange=qrange, hbm_io=hbm_bwd)
         if not pre_combed:
             dq, dk, dv = uncomb(dq, R), uncomb(dk, R), uncomb(dv, R)
         return dq, dk, dv, jnp.zeros_like(vmask)
@@ -921,7 +1069,8 @@ def mega_dilated_attention(q, k, v, *, segment_lengths: Sequence[int],
                      tuple(int(x) for x in segment_lengths),
                      tuple(int(x) for x in dilated_ratios),
                      float(scale), bool(interpret), qrange,
-                     bool(pre_combed))
+                     bool(pre_combed),
+                     itemsize=jnp.dtype(q.dtype).itemsize)
     vmask = jnp.ones((B, S), jnp.float32) if mask is None else \
         mask.astype(jnp.float32)
     # the (B, S) mask must follow the same comb permutation as tokens,

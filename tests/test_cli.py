@@ -79,6 +79,38 @@ def test_cli_eval_only_config_roundtrip(tmp_path, capsys):
             "deploy_results.json").exists()
 
 
+@pytest.mark.slow
+def test_cli_multiseed_learnability(tmp_path):
+    """Multi-seed synthetic learnability smoke (VERDICT r3 #8): with
+    ``--learnable`` the labels derive from the gene vector, so after a
+    few epochs the readout's val balanced accuracy must rise materially
+    above chance and the CoxPH C-index above 0.5 — the closest
+    available stand-in for TCGA metric parity
+    (``utils/test_utils_modaltune.py:133-171``). The deploy JSON must
+    carry per-task metrics."""
+    bests, cidxs = [], []
+    for seed in (0, 1, 2):
+        args = build_parser().parse_args([
+            "--tiny", "1", "--learnable", "1", "--num_epochs", "3",
+            "--bf16", "0", "--dp", "0", "--seed", str(seed),
+            "--save_embeddings",
+            "--output_path", str(tmp_path)])
+        bests.append(run_one_seed(args))
+        summary = json.load(open(tmp_path / f"seed_{seed}" /
+                                 "summary.json"))
+        rows = [json.loads(l) for l in
+                open(tmp_path / f"seed_{seed}" / "run_metrics.jsonl")]
+        cidx = [r["val_c_index"] for r in rows if "val_c_index" in r]
+        assert cidx, summary
+        cidxs.append(max(cidx))
+    assert np.mean(bests) > 0.75, f"bal-acc not above chance: {bests}"
+    assert np.mean(cidxs) > 0.55, f"c-index not above chance: {cidxs}"
+    # deploy JSON carries per-task metrics
+    deploy = json.load(open(tmp_path / "seed_0" / "deploy_results.json"))
+    task = next(iter(deploy.values()))
+    assert "c_index" in task and "bal_acc" in task, deploy
+
+
 def test_load_weights_strict_rejects_mismatch(tmp_path):
     """Strict weight loading raises when the built model's param tree
     disagrees with the checkpoint (deploy-time load_state_dict

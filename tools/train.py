@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the train split")
     # synthetic smoke mode (no external data needed)
     p.add_argument("--synthetic", default=0, type=int)
+    p.add_argument("--learnable", default=0, type=int,
+                   help="synthetic labels derived from the gene vector "
+                        "(learnability smoke: val bal-acc must rise "
+                        "above chance)")
     p.add_argument("--tiny", default=0, type=int,
                    help="tiny test model + small synthetic bags (CI "
                         "smoke; implies --synthetic geometry, like the "
@@ -155,11 +159,14 @@ def load_synthetic_datasets(args, in_chans: int = 1536,
     from modaltune_tpu.data import SyntheticSlideDataset
     packer = SyntheticSlideDataset(n_cases=1).packer
     clin = 5 if "clinical" in args.mil_name else 0
+    learnable = bool(getattr(args, "learnable", 0))
+    n_cases = 24 if learnable else 8
     datasets = {
         name: SyntheticSlideDataset(
-            n_cases=8, in_chans=in_chans, bag_range=bag_range,
+            n_cases=n_cases, in_chans=in_chans, bag_range=bag_range,
             packer=packer, clinical_dim=clin, threshold=args.threshold,
-            seed=i, n_sites=4 if args.pancancer else 1)
+            seed=i, n_sites=4 if args.pancancer else 1,
+            learnable=learnable)
         for i, name in enumerate(("train", "val", "test"))}
     return datasets, packer
 
