@@ -78,18 +78,32 @@ def calibrate() -> dict:
     state, ``copy_ms`` tracks effective HBM bandwidth."""
     n = 8192
     a = jnp.ones((n, n), jnp.bfloat16)
-    mm = jax.jit(lambda x: x @ x)
+    # reduce to a scalar and fetch it: some tunnel sessions report
+    # block_until_ready early (observed 0.018 ms for this matmul), so
+    # only a host value fetch reliably bounds device completion. Slope
+    # timing (2 chained iters vs 8) removes the fixed RPC latency, same
+    # trick as measure_train.
+    mm = jax.jit(lambda x: jnp.sum((x @ x).astype(jnp.float32)))
     big = jnp.ones((256, 1024, 1024), jnp.bfloat16)   # 512 MB
+    # x+1 is a jit OUTPUT (committed, so the full read+write happens);
+    # the scalar fetched afterwards bounds its completion
     cp = jax.jit(lambda x: x + 1)
 
-    def best_of(fn, arg, iters=8):
-        fn(arg).block_until_ready()
-        ts = []
-        for _ in range(iters):
+    def best_of(fn, arg, chain=(2, 8), reps=3):
+        def run_n(k):
             t0 = time.perf_counter()
-            fn(arg).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+            v = None
+            for _ in range(k):
+                v = fn(arg)
+            if v.ndim:
+                v = v.ravel()[0]
+            float(v)
+            return time.perf_counter() - t0
+
+        run_n(1)
+        lo, hi = chain
+        return min((run_n(hi) - run_n(lo)) / (hi - lo)
+                   for _ in range(reps))
 
     return {"matmul_ms": round(1000 * best_of(mm, a), 3),
             "copy_ms": round(1000 * best_of(cp, big), 3)}

@@ -25,6 +25,7 @@ Design deltas vs the reference (intentional):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -33,6 +34,7 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.activations import gelu_exact
+from ..ops.gelu_ln import gelu_ln, gelu_ln_eligible
 from ..configs import LongNetConfig
 # Note: ops.dilated_fast (head-major layout) wins ~10% on forward but its
 # strided-scatter backward loses more than that; the reference-layout
@@ -48,7 +50,6 @@ from ..ops.flash_attention import get_flash_mode
 def _interpret_forced() -> bool:
     """Test hook: run the Pallas paths in interpret mode off-TPU so the
     comb-resident wiring is exercised on the CPU suite."""
-    import os
     return os.environ.get("MODALTUNE_PALLAS_INTERPRET", "") not in ("", "0")
 
 
@@ -146,9 +147,28 @@ class DilatedSelfAttention(nn.Module):
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 
+class _LnScaleBias(nn.Module):
+    """LayerNorm affine params only (same tree/init as ``nn.LayerNorm``:
+    ``{scale: ones, bias: zeros}``) for the fused gelu+LN kernel path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
 class FeedForwardNetwork(nn.Module):
     """fc1 -> exact gelu (fp32) -> [sub-LN] -> fc2 -> dropout
-    (``feedforward_network.py:105-143``)."""
+    (``feedforward_network.py:105-143``). A fused Pallas gelu -> sub-LN
+    kernel exists (``ops/gelu_ln.py``) but is OFF by default: the
+    round-4 end-to-end A/B (``tools/sweep_step.py``, one process,
+    bench geometry) measured it 554.4 -> 569.8 ms/step — XLA's own
+    fusion of this chain already wins; the extra kernel launch plus
+    backward erf recompute loses more than the saved HBM passes. Set
+    ``MODALTUNE_FUSED_GELU_LN=1`` to re-enable for sweeps."""
 
     cfg: LongNetConfig
     dtype: Any = jnp.float32
@@ -156,14 +176,32 @@ class FeedForwardNetwork(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
         x = nn.Dense(c.ffn_dim, dtype=self.dtype, name="fc1")(x)
         x = checkpoint_name(x, "ffn_fc1")
-        # reference computes the activation in fp32: activation_fn(x.float())
-        x = gelu_exact(x)
-        x = nn.Dropout(c.activation_dropout)(x, deterministic=deterministic)
-        if c.subln:
-            x = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
-                             name="ffn_layernorm")(x)
+        fused = (os.environ.get("MODALTUNE_FUSED_GELU_LN", "0") == "1"
+                 and c.subln
+                 and (c.activation_dropout == 0.0 or deterministic)
+                 and get_flash_mode() != "xla"
+                 and (jax.default_backend() == "tpu"
+                      or _interpret_forced())
+                 and gelu_ln_eligible(rows, c.ffn_dim))
+        if fused:
+            s, b = _LnScaleBias(c.ffn_dim, name="ffn_layernorm")()
+            x = gelu_ln(x, s, b, eps=c.layernorm_eps,
+                        interpret=_interpret_forced() or None)
+        else:
+            # reference computes the activation in fp32:
+            # activation_fn(x.float())
+            x = gelu_exact(x)
+            x = nn.Dropout(c.activation_dropout)(
+                x, deterministic=deterministic)
+            if c.subln:
+                x = nn.LayerNorm(epsilon=c.layernorm_eps,
+                                 dtype=self.dtype,
+                                 name="ffn_layernorm")(x)
         x = nn.Dense(c.embed_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
         return x

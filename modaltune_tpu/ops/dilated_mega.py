@@ -71,7 +71,14 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 # fp32 score-tile byte budgets / max q-tile rows; env-overridable for
-# on-chip sweeps (values below are the measured v5e optima)
+# on-chip sweeps (values below are the measured v5e optima). Round-4
+# note on MAX_BQ: an isolated-kernel sweep suggested 512 -> 1024 cut
+# the fwd+bwd 89.4 -> 52.9 ms, but the one-process END-TO-END A/B
+# (tools/sweep_step.py, bench geometry) measured bq=1024 *slower*
+# (560.2 vs 554.4 ms/step); the isolated numbers were taken in a
+# tunnel session later shown to report block_until_ready before
+# execution completes (see bench.calibrate), so they are not trusted.
+# 512 stays the default on the end-to-end evidence.
 _FWD_SCORE_BUDGET = int(os.environ.get("MODALTUNE_MEGA_FWD_BUDGET",
                                        6 * 1024 * 1024))
 _BWD_SCORE_BUDGET = int(os.environ.get("MODALTUNE_MEGA_BWD_BUDGET",
