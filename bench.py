@@ -147,7 +147,11 @@ def measure_train(bag_len: int, trace_dir: str = "",
     tcfg = TrainConfig()
     tx = make_optimizer(tcfg, steps_per_epoch=100)
     state = TrainState.create(params, tx, frozen_dtype=jnp.bfloat16)
-    step_fn = make_train_step(model, tcfg, donate=False)
+    # donate=True matches the production trainer (train_step.py:79
+    # default): the optimizer update writes params/opt-state in place
+    # instead of copying them every step. State is threaded through the
+    # measurement loop below so the donated buffers are never reused.
+    step_fn = make_train_step(model, tcfg)
 
     projector = TextProjector()
     pp = projector.init(jax.random.PRNGKey(7),
@@ -170,16 +174,16 @@ def measure_train(bag_len: int, trace_dir: str = "",
         return time.perf_counter() - t0, lv, st
 
     for _ in range(WARMUP):
-        run_n(1, state)
+        _, _, state = run_n(1, state)
     if trace_dir:
         # profiler capture of 2 steady-state steps (attribution for the
         # perf analysis; view with tensorboard / xprof)
         from modaltune_tpu.utils.profiling import trace
         with trace(trace_dir):
-            run_n(2, state)
+            _, _, state = run_n(2, state)
         print(f"trace written to {trace_dir}", file=sys.stderr)
-    t_a, _, _ = run_n(ITERS_A, state)
-    t_b, loss_v, _ = run_n(ITERS_B, state)
+    t_a, _, state = run_n(ITERS_A, state)
+    t_b, loss_v, state = run_n(ITERS_B, state)
     dt = (t_b - t_a) / (ITERS_B - ITERS_A)
 
     flops = model_flops_per_step(cfg, bag_len)
