@@ -102,8 +102,14 @@ def calibrate() -> dict:
 
         run_n(1)
         lo, hi = chain
-        return min((run_n(hi) - run_n(lo)) / (hi - lo)
-                   for _ in range(reps))
+        # min each chain length separately, THEN take the slope: a
+        # min over per-rep slopes lets one stalled short chain fake an
+        # impossibly fast kernel (observed: 0.258 ms for the 1 GB copy,
+        # 4x over HBM bandwidth); min-per-length keeps the cleanest run
+        # of each and the slope of those is stall-free.
+        t_lo = min(run_n(lo) for _ in range(reps))
+        t_hi = min(run_n(hi) for _ in range(reps))
+        return (t_hi - t_lo) / (hi - lo)
 
     return {"matmul_ms": round(1000 * best_of(mm, a), 3),
             "copy_ms": round(1000 * best_of(cp, big), 3)}

@@ -149,6 +149,27 @@ def load_feature_bag(path: str) -> Tuple[np.ndarray, np.ndarray]:
     raise ValueError(f"Unsupported feature file: {path}")
 
 
+def load_embedding_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``case_id -> array`` embedding table.
+
+    Accepts ``.npz`` archives and the reference's torch ``.pt``/``.pth``
+    dicts as-is (text embeddings and clinical features are distributed
+    that way: ``data_utils/datasets.py:180,203`` torch.loads
+    ``text_location``/``clinical_location``), so a reference user's
+    existing artifacts drop straight in."""
+    p = Path(path)
+    if p.suffix == ".npz":
+        z = np.load(p)
+        return {k: np.asarray(z[k], np.float32) for k in z.files}
+    if p.suffix in (".pt", ".pth"):
+        import torch  # cpu-only, used for reading reference caches
+        d = torch.load(p, map_location="cpu", weights_only=False)
+        return {str(k): np.asarray(v.numpy() if hasattr(v, "numpy")
+                                   else v, np.float32)
+                for k, v in d.items()}
+    raise ValueError(f"Unsupported embedding table: {path}")
+
+
 class FeatureBagDataset:
     """Case-wise multi-modal dataset over a split datalist.
 

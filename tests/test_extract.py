@@ -85,3 +85,27 @@ def test_titan_extraction_driver():
     # 512-px grid: coords are multiples of 512 inside the tissue square
     assert np.all(bag["coords"] % 512 == 0)
     assert bag["coords"].max() < 1024
+
+
+def test_load_embedding_dict_npz_and_pt(tmp_path):
+    """The same case->array table loads from .npz and from the
+    reference's torch .pt distribution format (data_utils/datasets.py:180
+    torch.loads text_location); values must come back float32-identical."""
+    import torch
+
+    from modaltune_tpu.data import load_embedding_dict
+
+    rng = np.random.RandomState(3)
+    table = {f"TCGA-{i:02d}": rng.randn(4, 512).astype(np.float32)
+             for i in range(3)}
+    np.savez(tmp_path / "emb.npz", **table)
+    torch.save({k: torch.from_numpy(v) for k, v in table.items()},
+               tmp_path / "emb.pt")
+
+    a = load_embedding_dict(str(tmp_path / "emb.npz"))
+    b = load_embedding_dict(str(tmp_path / "emb.pt"))
+    assert set(a) == set(b) == set(table)
+    for k in table:
+        np.testing.assert_array_equal(a[k], table[k])
+        np.testing.assert_array_equal(b[k], table[k])
+        assert b[k].dtype == np.float32

@@ -134,12 +134,9 @@ def load_real_datasets(args):
     groups = pathway_gene_groups(args.pathway_csv)
     packer = GenePacker.build(groups, gene_names)
 
-    def load_embs(path):
-        z = np.load(path)
-        return {k: z[k] for k in z.files}
-
-    text = load_embs(args.text_location)
-    clinical = load_embs(args.clinical_location) \
+    from modaltune_tpu.data import load_embedding_dict
+    text = load_embedding_dict(args.text_location)
+    clinical = load_embedding_dict(args.clinical_location) \
         if args.clinical_location else None
     datasets = {}
     for name, path in (("train", args.train_json), ("val", args.val_json),
