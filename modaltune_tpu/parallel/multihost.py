@@ -245,6 +245,19 @@ class DdpGradSync:
             self._host_replicated(step))
 
 
+def process_sum(values: np.ndarray) -> np.ndarray:
+    """Elementwise sum of a small host array across processes — the
+    scalar half of the reference's rank-0 eval aggregation (loss numerator
+    / denominator counts alongside the ``gather_object`` of outputs,
+    ``base_trainer.py:379-421``). Passthrough in single-process runs."""
+    if jax.process_count() == 1:
+        return np.asarray(values)
+    from jax.experimental import multihost_utils as mhu
+    g = np.asarray(mhu.process_allgather(
+        jnp.asarray(np.asarray(values, np.float32))))
+    return g.sum(axis=0)
+
+
 def global_steps_min(n_local: int) -> int:
     """Minimum per-process step count — every process must run the same
     number of synchronized steps per epoch (the DDP ``Join`` uneven-input

@@ -66,31 +66,18 @@ class PanCancerTrainer(ModalTuneTrainer):
             self._site_classifier = fit_logreg(x0[valid], sites[valid])
 
     def evaluate(self, stage: str) -> Dict[str, float]:
-        loader = self.eval_loaders[stage]
-        by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
-        loss_num, loss_den, x0, meta = 0.0, 0, [], []
-        from .trainer import _device_batch, _row_valid
-        # same mesh/multi-host contract as the base trainer: local state
-        # view for per-process jits, padded wrap rows excluded from both
-        # the loss and the per-site metric pools
-        state = self._local_state()
-        for batch in loader:
-            logits, loss = self._eval_step(state,
-                                           _device_batch(batch),
-                                           self._text_targets(batch),
-                                           _row_valid(batch))
-            real = len(batch.case_ids) - batch.pad_rows
-            loss_num += float(loss) * real
-            loss_den += real
-            x0.append(np.asarray(logits[:real, 0], np.float32))
-            meta.extend(by_case[c] for c in batch.case_ids[:real])
-        x0 = np.concatenate(x0)
+        # _eval_outputs handles the mesh/multi-host contract: local state
+        # view, padded wrap rows excluded, and a GLOBAL allgather of
+        # embeddings + loss under multi-host so per-site metrics are
+        # scored on the full split (the reference's rank-0 gather,
+        # base_trainer.py:379-421)
+        x0, meta, mean_loss = self._eval_outputs(stage)
         sites = np.array([site_of(m) for m in meta])
         y = np.array([m.get("primary_class", -1) for m in meta], int)
         t = np.array([m.get("durations", np.nan) for m in meta], float)
         e = np.array([m.get("vital_status", 0) for m in meta], int)
 
-        out = {f"{stage}_cls_loss": loss_num / max(loss_den, 1)}
+        out = {f"{stage}_cls_loss": mean_loss}
         bal_accs, cidx = [], []
         for s in range(self.num_sites):
             sel = sites == s
@@ -133,6 +120,8 @@ class PanCancerTrainer(ModalTuneTrainer):
         results = perform_testing_pancancer(
             splits["train"][0], splits["train"][1],
             splits["test"][0], splits["test"][1], penalizer=penalizer)
-        with open(self.out_dir / "deploy_results_pancancer.json", "w") as f:
-            json.dump(results, f, indent=2)
+        if self.is_main:
+            with open(self.out_dir / "deploy_results_pancancer.json",
+                      "w") as f:
+                json.dump(results, f, indent=2)
         return results

@@ -256,9 +256,15 @@ class ModalTuneTrainer:
         if self.process_shard is not None:
             # re-assemble the per-process shards (uneven-count gather:
             # the DDP Join + gather_object equivalent,
-            # base_trainer.py:379-421)
+            # base_trainer.py:379-421), restored to the dataset's
+            # canonical case order so downstream head fits and deploy
+            # artifacts are bit-identical to a single-process run
             from ..parallel.multihost import allgather_embeddings
             x, ids = allgather_embeddings(x, ids)
+            pos = {c: i for i, c in enumerate(loader.dataset.case_ids)}
+            perm = np.argsort(np.asarray([pos[c] for c in ids]))
+            x = x[perm]
+            ids = [ids[i] for i in perm]
         meta = [by_case[c] for c in ids]
         if task0_only:
             x = x[:, :1]
@@ -274,12 +280,37 @@ class ModalTuneTrainer:
         e = np.array([m.get("vital_status", 0) for m in meta], int)
         self._cph = CoxPH(penalizer=0.1).fit(x0, t, e)
 
-    def evaluate(self, stage: str) -> Dict[str, float]:
-        """Loss + readout metrics on a split (``evaluate``,
-        train_modaltune.py:388-458)."""
+    def _gather_eval(self, x0, ids, loss_num: float, loss_den: int,
+                     dataset):
+        """Assemble GLOBAL eval outputs under multi-host DP.
+
+        The reference gathers every rank's eval logits/labels to rank 0
+        before computing metrics (``gather_distributed_outputs``,
+        base_trainer.py:379-421, used by ``evaluate`` at
+        train_modaltune.py:388-458) — without this, the best-model
+        selection key would be scored on a 1/P shard of the validation
+        set. Allgathers embeddings + case ids (uneven counts absorbed),
+        sums the loss numerator/denominator across processes, and
+        restores the dataset's canonical case order so every process —
+        and a single-process run on the same data — computes identical
+        metrics. Passthrough when not multi-host."""
+        if self.process_shard is None or self.process_shard[1] <= 1:
+            return x0, ids, loss_num, loss_den
+        from ..parallel.multihost import allgather_embeddings, process_sum
+        x0, ids = allgather_embeddings(x0, list(ids))
+        sums = process_sum(np.asarray([loss_num, float(loss_den)]))
+        pos = {c: i for i, c in enumerate(dataset.case_ids)}
+        perm = np.argsort(np.asarray([pos[c] for c in ids]))
+        return x0[perm], [ids[i] for i in perm], float(sums[0]), \
+            int(round(float(sums[1])))
+
+    def _eval_outputs(self, stage: str):
+        """Run the eval step over a split -> (x0 (N, D) task-0
+        embeddings, metadata rows, mean loss), globally gathered under
+        multi-host (see :meth:`_gather_eval`)."""
         loader = self.eval_loaders[stage]
         by_case = {m["case_id"]: m for m in loader.dataset.metadata()}
-        loss_num, loss_den, x0, meta = 0.0, 0, [], []
+        loss_num, loss_den, x0, ids = 0.0, 0, [], []
         state = self._local_state()
         for batch in loader:
             logits, loss = self._eval_step(state,
@@ -292,13 +323,25 @@ class ModalTuneTrainer:
             loss_num += float(loss) * real
             loss_den += real
             x0.append(np.asarray(logits[:real, 0], np.float32))
-            meta.extend(by_case[c] for c in batch.case_ids[:real])
-        x0 = np.concatenate(x0)
+            ids.extend(batch.case_ids[:real])
+        out_dim = self.model.cfg.adapter.output_dim
+        x0 = np.concatenate(x0) if x0 else np.zeros((0, out_dim),
+                                                    np.float32)
+        x0, ids, loss_num, loss_den = self._gather_eval(
+            x0, ids, loss_num, loss_den, loader.dataset)
+        meta = [by_case[c] for c in ids]
+        return x0, meta, loss_num / max(loss_den, 1)
+
+    def evaluate(self, stage: str) -> Dict[str, float]:
+        """Loss + readout metrics on a split (``evaluate``,
+        train_modaltune.py:388-458). Under multi-host every process
+        scores the FULL split (reference rank-0 gather equivalent)."""
+        x0, meta, mean_loss = self._eval_outputs(stage)
         y = np.array([m.get("primary_class", -1) for m in meta], int)
         t = np.array([m.get("durations", np.nan) for m in meta], float)
         e = np.array([m.get("vital_status", 0) for m in meta], int)
 
-        out = {f"{stage}_cls_loss": loss_num / max(loss_den, 1)}
+        out = {f"{stage}_cls_loss": mean_loss}
         if self._lr_head is not None:
             xf, yf = filter_labelset(x0, y)
             if len(yf):
@@ -308,12 +351,15 @@ class ModalTuneTrainer:
                 cm = m.pop("confusion_matrix", None)
                 roc = m.pop("roc_curve", None)
                 out.update({f"{stage}_cls_{k}": v for k, v in m.items()})
+                # artifact writes are main-process-only (the reference's
+                # rank-0 guard, base_trainer.py:438-440) — on a shared
+                # filesystem every process writing is a race
                 import json as _json
-                if cm is not None:
+                if cm is not None and self.is_main:
                     with open(self.out_dir /
                               f"confusion_{stage}.json", "w") as f:
                         _json.dump(cm, f)
-                if roc:
+                if roc and self.is_main:
                     with open(self.out_dir / f"roc_{stage}.json",
                               "w") as f:
                         _json.dump(roc, f)
@@ -436,21 +482,27 @@ class ModalTuneTrainer:
         if weights_path:
             self.load_weights(weights_path)
         data_dir = self.out_dir / "data"
-        data_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_main:
+            data_dir.mkdir(parents=True, exist_ok=True)
         splits = {}
         for name in ("train", "val", "test"):
             if name not in self.eval_loaders:
                 continue
             x, meta = self.extract_embeddings(self.eval_loaders[name])
             splits[name] = (x, meta)
-            np.save(data_dir / f"x_feats_{name}.npy", x)
-            with open(data_dir / f"meta_{name}.json", "w") as f:
-                json.dump(meta, f, default=str)
+            # embeddings are globally gathered (every process holds the
+            # full split) but only the main process writes artifacts —
+            # shared-filesystem write races otherwise
+            if self.is_main:
+                np.save(data_dir / f"x_feats_{name}.npy", x)
+                with open(data_dir / f"meta_{name}.json", "w") as f:
+                    json.dump(meta, f, default=str)
         results = perform_testing(splits["train"][0], splits["train"][1],
                                   splits["test"][0], splits["test"][1],
                                   penalizer=penalizer)
-        with open(self.out_dir / "deploy_results.json", "w") as f:
-            json.dump(results, f, indent=2)
+        if self.is_main:
+            with open(self.out_dir / "deploy_results.json", "w") as f:
+                json.dump(results, f, indent=2)
         return results
 
 

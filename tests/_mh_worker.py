@@ -40,34 +40,30 @@ assert len(mine) + len(other) == 7
 # --- synchronized DDP train steps: replicas must stay bit-identical ---
 # (the reference's DDP gradient all-reduce, base_trainer.py:205-211; here
 # DdpGradSync: local per-bucket grad step + global grad-mean/update)
-import tempfile
+import json
+import os
 
-import jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _mh_common import build_trainer
 
-from modaltune_tpu.configs import TrainConfig, tiny_test_config
-from modaltune_tpu.data import SyntheticSlideDataset
-from modaltune_tpu.models import ModalTuneModel
-from modaltune_tpu.train.trainer import ModalTuneTrainer
-
-cfg = tiny_test_config()
-packer = SyntheticSlideDataset(n_cases=1).packer
-datasets = {
-    name: SyntheticSlideDataset(n_cases=5, in_chans=cfg.backbone.in_chans,
-                                bag_range=(40, 80), packer=packer, seed=i)
-    for i, name in enumerate(("train", "val", "test"))}
-model = ModalTuneModel(cfg, n_gene_groups=packer.n_groups,
-                       max_group_len=packer.max_group_len)
-tcfg = TrainConfig(lr=1e-3, num_epochs=1, warmup_epochs=1, seed=0)
-out_dir = tempfile.mkdtemp(prefix=f"mh_trainer_p{pid}_")
-trainer = ModalTuneTrainer(model, tcfg, datasets, out_dir, buckets=(96,),
-                           process_shard=(pid, 2))
-ex = datasets["train"].get(0, np.random.RandomState(0))
-init_params = model.init(jax.random.PRNGKey(0),
-                         jnp.asarray(ex.bag[None, :40]),
-                         jnp.asarray(ex.coords[None, :40]),
-                         jnp.asarray(ex.genes[None]),
-                         task_token=jnp.eye(3)[:1])["params"]
+trainer, init_params = build_trainer(process_shard=(pid, 2),
+                                     out_prefix=f"mh_trainer_p{pid}_")
 trainer.init_state(init_params)
+
+# --- globally-gathered evaluation: every process must score the FULL
+# split (the reference's rank-0 gather, base_trainer.py:379-421). The
+# parent test reproduces the identical single-process trainer and
+# asserts these metrics match it.
+trainer.fit_readout_heads()
+metrics = trainer.evaluate("val")
+print("EVAL_METRICS " + json.dumps({k: float(v) for k, v in
+                                    metrics.items()}, sort_keys=True),
+      flush=True)
+# artifact writes (confusion/roc JSON) are main-process-gated
+conf = os.path.join(trainer.out_dir, "confusion_val.json")
+if pid != 0:
+    assert not os.path.exists(conf), \
+        "non-main process wrote eval artifacts"
 # uneven shards: 5 cases over 2 processes -> the synchronized-step cap
 # must agree on min(3, 2) = 2 steps
 assert trainer._steps_cap == 2, trainer._steps_cap

@@ -108,3 +108,29 @@ def test_two_process_cpu_gather():
         raise AssertionError(joined[-2000:])
     assert "WORKER0 OK" in outs[0]
     assert "WORKER1 OK" in outs[1]
+
+    # --- globally-gathered eval (reference rank-0 gather equivalent,
+    # base_trainer.py:379-421): both processes must report the FULL
+    # split's metrics, identical to each other AND to a single-process
+    # run of the identical trainer on the same data.
+    def _metrics(out):
+        line = next(l for l in out.splitlines()
+                    if l.startswith("EVAL_METRICS "))
+        return json.loads(line[len("EVAL_METRICS "):])
+
+    m0, m1 = _metrics(outs[0]), _metrics(outs[1])
+    assert m0 == m1, (m0, m1)
+
+    sys.path.insert(0, str(ROOT / "tests"))
+    from _mh_common import build_trainer
+    trainer, init_params = build_trainer(process_shard=None)
+    trainer.init_state(init_params)
+    trainer.fit_readout_heads()
+    expected = trainer.evaluate("val")
+    assert set(m0) == set(expected), (set(m0), set(expected))
+    for k, v in expected.items():
+        # the loss crosses a float32 process_sum in the 2-proc run;
+        # everything else must match to fp noise
+        tol = 1e-5 if k.endswith("_loss") else 1e-9
+        assert abs(m0[k] - float(v)) <= tol * max(1.0, abs(float(v))), \
+            (k, m0[k], float(v))
