@@ -379,25 +379,44 @@ class BucketedLoader:
         return order
 
     def __len__(self):
+        # lower bound under bucket-grouped batching (exact at
+        # batch_size=1): per-bucket remainders can add up to
+        # n_buckets - 1 extra partial batches, unknowable without
+        # loading every bag's length
         n = len(self._indices())
         return (n + self.batch_size - 1) // self.batch_size
 
     def _iter_batches(self) -> Iterator[Batch]:
+        """Bucket-grouped batching: a batch is formed from examples that
+        map to the SAME bucket, never padded to its largest member's
+        bucket — at batch_size > 1 mixing a 2k bag into a 25k-bucket
+        batch would waste 12x its FLOPs on padding. Examples stream in
+        (shuffled) order into per-bucket pending lists; a full list
+        emits a batch, partial lists flush at epoch end (wrap-padded to
+        batch_size in pad_to_batch mode). batch_size=1 reduces exactly
+        to per-example batches in iteration order."""
         rng = np.random.RandomState(self.seed + self.epoch)
         order = self._indices()
         if self.shuffle:
             rng.shuffle(order)
-        for start in range(0, len(order), self.batch_size):
-            chunk = order[start:start + self.batch_size]
+        pending: Dict[int, List[Example]] = {b: [] for b in self.buckets}
+        for i in order:
+            ex = self.dataset.get(int(i), rng)
+            b = choose_bucket(ex.bag.shape[0], self.buckets)
+            if len(pending[b]) + 1 == self.batch_size:
+                yield collate(pending[b] + [ex], b)
+                pending[b] = []
+            else:
+                pending[b].append(ex)
+        for b in self.buckets:
+            exs = pending[b]
+            if not exs:
+                continue
             pad = 0
-            if self.pad_to_batch and len(chunk) < self.batch_size:
-                pad = self.batch_size - len(chunk)
-                wrap = [order[i % len(order)] for i in range(pad)]
-                chunk = np.concatenate([chunk, np.asarray(wrap)])
-            examples = [self.dataset.get(int(i), rng) for i in chunk]
-            bucket = choose_bucket(max(e.bag.shape[0] for e in examples),
-                                   self.buckets)
-            batch = collate(examples, bucket)
+            if self.pad_to_batch and len(exs) < self.batch_size:
+                pad = self.batch_size - len(exs)
+                exs = exs + [exs[i % len(exs)] for i in range(pad)]
+            batch = collate(exs, b)
             if pad:
                 batch = dataclasses.replace(batch, pad_rows=pad)
             yield batch
