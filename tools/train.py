@@ -251,8 +251,15 @@ def run_one_seed(args):
 
     if args.tiny:
         tiny_chans = tiny_test_config().backbone.in_chans
-        datasets, packer = load_synthetic_datasets(
-            args, in_chans=tiny_chans, bag_range=(40, 80))
+        if not args.synthetic and Path(args.train_json).exists():
+            # tiny MODEL on REAL artifacts: lets the reference's exact
+            # on-disk formats (.pt feature/text/clinical dicts, split
+            # JSONs, gene CSV) run train->eval->deploy end-to-end at
+            # CI-sized geometry (tests/test_dropin_e2e.py)
+            datasets, packer = load_real_datasets(args)
+        else:
+            datasets, packer = load_synthetic_datasets(
+                args, in_chans=tiny_chans, bag_range=(40, 80))
         if args.buckets == "4095,8191,16383,25599":
             args.buckets = "96"
     elif args.synthetic:
