@@ -116,9 +116,15 @@ def calibrate() -> dict:
 
 
 def measure_train(bag_len: int, trace_dir: str = "",
-                  with_embed: bool = True) -> dict:
+                  with_embed: bool = True, batch: int = 1) -> dict:
     """One full-size ModalTune-GigaPath train-step measurement at the
-    given bucket. Returns step-time stats (+ embed throughput)."""
+    given bucket. Returns step-time stats (+ embed throughput).
+
+    ``batch``: slides per step (each still tiled across the 3 task
+    tokens inside the step). The reference trains at bs=1
+    (train_modaltune.py:78); batch>1 is the rebuild's throughput mode,
+    fed by the loader's bucket-grouped batching (data/datasets.py) so
+    every batch member shares the bucket."""
     from modaltune_tpu.configs import (TrainConfig,
                                        gigapath_modaltune_config)
     from modaltune_tpu.data import GenePacker, synthetic_pathways
@@ -136,18 +142,21 @@ def measure_train(bag_len: int, trace_dir: str = "",
                            dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
-    bag = jnp.asarray(rng.randn(1, bag_len, 1536), jnp.float32)
-    coords = jnp.asarray(rng.randint(0, 999, (1, bag_len, 2)) * 256.0,
+    B = batch
+    bag = jnp.asarray(rng.randn(B, bag_len, 1536), jnp.float32)
+    coords = jnp.asarray(rng.randint(0, 999, (B, bag_len, 2)) * 256.0,
                          jnp.float32)
-    mask = jnp.asarray(np.ones((1, bag_len), bool))
-    genes = jnp.asarray(
-        packer.pack(rng.randn(4987).astype(np.float32))[None])
-    text_raw = jnp.asarray(rng.randn(1, 4, 512), jnp.float32)
+    mask = jnp.asarray(np.ones((B, bag_len), bool))
+    genes = jnp.asarray(np.stack(
+        [packer.pack(rng.randn(4987).astype(np.float32))
+         for _ in range(B)]))
+    text_raw = jnp.asarray(rng.randn(B, 4, 512), jnp.float32)
 
     # jitted init: eager init dispatches thousands of tiny ops, which is
     # pathological over remote-device transports
     init_fn = jax.jit(lambda r: model.init(
-        r, bag, coords, genes, task_token=jnp.eye(3)[:1],
+        r, bag, coords, genes,
+        task_token=jnp.tile(jnp.eye(3)[:1], (B, 1)),
         bag_mask=mask)["params"])
     params = init_fn(jax.random.PRNGKey(0))
     tcfg = TrainConfig()
@@ -192,14 +201,16 @@ def measure_train(bag_len: int, trace_dir: str = "",
     t_b, loss_v, state = run_n(ITERS_B, state)
     dt = (t_b - t_a) / (ITERS_B - ITERS_A)
 
-    flops = model_flops_per_step(cfg, bag_len)
+    flops = model_flops_per_step(cfg, bag_len) * B
     out = {
         "step_ms": round(1000 * dt, 1),
-        "slides_per_sec": round(1.0 / dt, 4),
+        "slides_per_sec": round(B / dt, 4),
         "loss": float(loss_v),
         "flops_per_step": round(flops / 1e9, 1),
         "mfu": round(flops / dt / V5E_PEAK_BF16_FLOPS, 4),
     }
+    if B > 1:
+        out["batch"] = B
     if not with_embed:
         return out
 
@@ -256,6 +267,17 @@ def main(trace_dir: str = "", with_titan: bool = True,
             (fl["step_ms"] / (BAG_FLAGSHIP + 1)) /
             (head["step_ms"] / (BAG + 1)), 3)
         result["flagship_25k"] = fl
+    if with_flagship and bag_len == BAG:
+        # throughput mode beyond the reference's bs=1 (VERDICT r4 #4):
+        # bucket-homogeneous batches from the loader's grouped batching
+        # amortize the ~35 ms host/dispatch residue and deepen every
+        # matmul. B=2 at the 10k bench bucket, B=4 at the 8191 bucket.
+        batched = {}
+        for b, bl in ((2, BAG), (4, 8191)):
+            m = measure_train(bl, with_embed=False, batch=b)
+            m["bag"] = bl
+            batched[f"b{b}_{bl + 1}"] = m
+        result["batched"] = batched
     if with_titan:
         # second model family, same chip, same JSON line (BENCH contract
         # stays one line; VERDICT r2 next #7)
