@@ -85,6 +85,16 @@ _BWD_SCORE_BUDGET = int(os.environ.get("MODALTUNE_MEGA_BWD_BUDGET",
                                        4 * 1024 * 1024))
 _MAX_BQ = int(os.environ.get("MODALTUNE_MEGA_MAX_BQ", 512))
 _MAX_BRANCHES = 8          # stats lanes in the (S, 8) lse scratch
+# hbm_io lane padding for the resident-plane DMAs: 1 pads q/dmix (and
+# the dq/dk/dv outputs) to 128 lanes in XLA before/after the kernel;
+# 0 DMAs the D-lane arrays directly, skipping the XLA pad/slice passes
+# (~35 ms/step `pad` pool at the flagship bucket). MEASURED REJECTION
+# as a default: unpadded full-plane DMA compiles and matches the
+# oracle for fp32 operands, but Mosaic rejects it at the bf16
+# production dtype ("Slice shape along dimension 2 must be aligned to
+# tiling (128), but is 48" — 16-bit types tile (16, 128) with sublane
+# packing, so sub-128 minors can't DMA). Kept for fp32 debugging runs.
+_HBM_PAD = int(os.environ.get("MODALTUNE_MEGA_HBM_PAD", 1))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -941,14 +951,15 @@ def _mega_bwd_call(plans: List[_MegaPlan], q_c, k_c, v_c, bias_c,
         # D=48 lanes pad to 128 anyway so the widening is free
         pltpu.VMEM((max_wr, D + 1), q_c.dtype),
     ]
+    LPio = LP if _HBM_PAD else D
     if hbm_io:
-        scratch += [pltpu.VMEM((S, LP), q_c.dtype),   # resident q
-                    pltpu.VMEM((S, LP), q_c.dtype),   # resident dmix
+        scratch += [pltpu.VMEM((S, LPio), q_c.dtype),  # resident q
+                    pltpu.VMEM((S, LPio), q_c.dtype),  # resident dmix
                     pltpu.SemaphoreType.DMA((4,))]
-    out_D = LP if hbm_io else D
-    if hbm_io:
-        # Mosaic DMA windows must be 128-lane aligned: q/dmix arrive
-        # (and dq/dk/dv leave) lane-padded; the pad/slice is XLA's
+    out_D = LPio if hbm_io else D
+    if hbm_io and _HBM_PAD:
+        # conservative layout: 128-lane-pad q/dmix for the resident
+        # DMAs (and dq/dk/dv come back padded); the pad/slice is XLA's
         pad = ((0, 0), (0, 0), (0, LP - D))
         q_in = jnp.pad(q_c, pad)
         dm_in = jnp.pad(dmix_c, pad)
